@@ -1,0 +1,47 @@
+"""Test environment: force the JAX CPU backend with 8 virtual devices so
+multi-chip sharding paths compile and execute without TPU hardware
+(SURVEY.md §4: the reference has no automated tests at all — this suite is
+the framework's correctness net)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+
+import numpy as np
+import pytest
+
+REFERENCE_TOKENIZER = pathlib.Path("/root/reference/engine/tokenizer.bin")
+
+
+@pytest.fixture(scope="session")
+def tokenizer_bin() -> pathlib.Path:
+    if not REFERENCE_TOKENIZER.exists():
+        pytest.skip("reference tokenizer.bin not available")
+    return REFERENCE_TOKENIZER
+
+
+@pytest.fixture(scope="session")
+def tiny_model():
+    from rama_tpu.testing.ref_model import random_params, tiny_config
+
+    cfg = tiny_config()
+    return cfg, random_params(cfg, seed=7)
+
+
+@pytest.fixture(scope="session")
+def tiny_model_mha():
+    """n_kv_heads == n_heads variant (the only case the reference handles)."""
+    from rama_tpu.testing.ref_model import random_params, tiny_config
+
+    cfg = tiny_config(n_kv_heads=4)
+    return cfg, random_params(cfg, seed=11)
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(1234)
