@@ -1,0 +1,102 @@
+"""Engine CLI — the reference's `engine` binary (engine/src/main.rs:20-105).
+
+    python -m rama_tpu.cli generate -m model.bin -t tokenizer.bin \
+        -p "once upon a time" -s 200 -r 0.9 --temperature 1.0
+
+Loads a v0/v1/v2 .bin checkpoint, runs generation, prints the text and a
+tok/s line computed the reference way: (steps - 1) / elapsed
+(engine/src/main.rs:100-103).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="rama-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="run timed generation")
+    # flag names follow the reference CLI (engine/src/main.rs:20-50)
+    g.add_argument("-m", "--model", required=True, help="path to .bin checkpoint")
+    g.add_argument("-t", "--tokenizer", required=True, help="path to tokenizer.bin")
+    g.add_argument("-p", "--prompt", default="", help="prompt text")
+    g.add_argument("-s", "--step", type=int, default=255, help="max steps")
+    g.add_argument("-r", "--topp", type=float, default=0.9, help="nucleus top-p")
+    g.add_argument("--temperature", type=float, default=1.0)
+    g.add_argument("--seed", type=int, default=100)
+    g.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    g.add_argument("--parity", action="store_true",
+                   help="token-at-a-time loop (reference semantics) instead of "
+                        "the prefill+decode fast path")
+    g.add_argument("--platform", default="auto", choices=["auto", "cpu", "tpu"],
+                   help="pin the jax backend (the host env may default to TPU)")
+
+    e = sub.add_parser("export", help="convert checkpoints between versions")
+    e.add_argument("input")
+    e.add_argument("output")
+    e.add_argument("--version", type=int, default=2, choices=[0, 1, 2])
+    e.add_argument("--group-size", type=int, default=64)
+    return ap
+
+
+def cmd_generate(args) -> int:
+    from rama_tpu.utils.platform import force_platform
+
+    force_platform(args.platform)
+    import jax.numpy as jnp
+
+    from rama_tpu.checkpoint import load_checkpoint
+    from rama_tpu.models.llama import load_params
+    from rama_tpu.runtime.generate import generate_text
+    from rama_tpu.tokenizer import Tokenizer
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    cfg, np_params = load_checkpoint(args.model)
+    params = load_params(cfg, np_params, dtype=dtype)
+    tokenizer = Tokenizer.from_file(args.tokenizer, cfg.vocab_size)
+
+    # warm-up compile outside the timed region (the reference's first token
+    # pays NVRTC compile similarly at startup, gpu.rs:219-226)
+    t0 = time.time()
+    text, ids = generate_text(params, cfg, tokenizer, args.prompt,
+                              steps=args.step, temperature=args.temperature,
+                              top_p=args.topp, seed=args.seed,
+                              cache_dtype=dtype, fast=not args.parity)
+    elapsed = time.time() - t0
+    print(text)
+    steps = len(ids)
+    print(f"\n{steps} tokens in {elapsed:.2f}s: {(steps - 1) / elapsed:.2f} tok/s",
+          file=sys.stderr)
+    return 0
+
+
+def cmd_export(args) -> int:
+    from rama_tpu.checkpoint import load_checkpoint, save_v0, save_v1, save_v2
+
+    cfg, params = load_checkpoint(args.input)
+    if args.version == 0:
+        save_v0(args.output, cfg, params)
+    elif args.version == 1:
+        save_v1(args.output, cfg, params)
+    else:
+        err = save_v2(args.output, cfg, params, group_size=args.group_size)
+        print(f"max quantization group error: {err:.6f}", file=sys.stderr)
+    print(f"wrote {args.output}", file=sys.stderr)
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cmd == "generate":
+        return cmd_generate(args)
+    if args.cmd == "export":
+        return cmd_export(args)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,199 @@
+"""Functional Llama-2 forward pass in JAX — the framework's L3.
+
+This is the TPU-native re-design of the reference's per-op, single-token,
+batch-1 forward (engine/src/transformer/infer.rs:8-53): instead of 10 tiny
+dispatched device ops per layer per token, the whole network is one traced
+function — batched over request slots, scanned over layers, jit-compiled once
+— so XLA fuses elementwise work into the MXU matmuls and the HBM-bound decode
+step stays a single fused program.
+
+Differences from the reference, by design (SURVEY.md §7):
+- batch dimension everywhere (the reference hardcodes batch=1, infer.rs:20-51)
+- real GQA via KV-head grouping (the reference parses n_kv_heads but strides
+  its cache densely, ram.rs:8 vs infer.rs:31-33)
+- prefill processes the whole prompt in one pass (the reference force-feeds
+  prompt tokens one forward call at a time, mod.rs:187-193)
+- per-slot position vector so a continuous-batching scheduler can mix
+  requests at ragged decode offsets in one step
+
+Math parity is with the reference CPU path: interleaved-pair RoPE
+(cpu.rs:87-96), rmsnorm eps 1e-5 (cpu.rs:110-118), SiLU-gated FFN
+(cpu.rs:56-58, infer.rs:41-47), 1/sqrt(head_dim) attention scale (cpu.rs:40).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rama_tpu.checkpoint import compute_freqs
+from rama_tpu.config import ModelConfig
+
+Params = dict[str, Any]
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class KVCache:
+    """Dense per-layer KV cache: k/v are (L, B, S, n_kv_heads, head_dim).
+
+    The functional replacement for the reference's per-request mutable
+    key_cache/value_cache buffers (state.rs:14-15, ram.rs:20-21).
+    """
+
+    k: jax.Array
+    v: jax.Array
+
+    @staticmethod
+    def create(cfg: ModelConfig, batch: int, max_len: int | None = None,
+               dtype=jnp.bfloat16) -> "KVCache":
+        s = max_len or cfg.seq_len
+        shape = (cfg.n_layers, batch, s, cfg.n_kv_heads, cfg.head_dim)
+        return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+
+def load_params(cfg: ModelConfig, np_params: dict, dtype=jnp.bfloat16) -> Params:
+    """numpy canonical params -> device pytree + precomputed RoPE tables."""
+    p = {k: jnp.asarray(v, dtype=dtype) for k, v in np_params.items()}
+    cos, sin = compute_freqs(cfg)
+    # RoPE tables stay fp32: rotation error compounds over positions.
+    p["rope_cos"] = jnp.asarray(cos, jnp.float32)
+    p["rope_sin"] = jnp.asarray(sin, jnp.float32)
+    return p
+
+
+def rmsnorm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    """fp32-accumulated RMS norm (cpu.rs:110-118 semantics)."""
+    xf = x.astype(jnp.float32)
+    inv = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (w.astype(jnp.float32) * (xf * inv)).astype(x.dtype)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Rotate interleaved (even, odd) lanes of the last dim.
+
+    x: (..., T, n_heads, head_dim); cos/sin: (T, head_dim//2) broadcast over
+    batch and heads. llama2.c convention (cpu.rs:87-96) — pairs are adjacent
+    lanes (2i, 2i+1), not split halves like HF.
+    """
+    xf = x.astype(jnp.float32)
+    shape = xf.shape[:-1] + (xf.shape[-1] // 2, 2)
+    xp = xf.reshape(shape)
+    xr, xi = xp[..., 0], xp[..., 1]
+    c = cos[..., :, None, :]  # (..., T, 1, hd/2)
+    s = sin[..., :, None, :]
+    out = jnp.stack([xr * c - xi * s, xr * s + xi * c], axis=-1)
+    return out.reshape(xf.shape).astype(x.dtype)
+
+
+def _attention(q, k_cache, v_cache, pos_mask, cfg: ModelConfig):
+    """Grouped-query attention over the cached sequence.
+
+    q: (B, T, n_heads, hd); caches: (B, S, n_kv, hd);
+    pos_mask: (B, T, S) True where key position is visible.
+    """
+    b, t, nh, hd = q.shape
+    nkv, rep = cfg.n_kv_heads, cfg.n_rep
+    qg = q.reshape(b, t, nkv, rep, hd)
+    # scores fp32 for softmax stability (the reference softmaxes fp32 too)
+    scores = jnp.einsum(
+        "btkrh,bskh->btkrs", qg, k_cache, preferred_element_type=jnp.float32
+    ) / np.sqrt(hd)
+    scores = jnp.where(pos_mask[:, :, None, None, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "btkrs,bskh->btkrh", probs.astype(v_cache.dtype), v_cache,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, t, nh * hd).astype(q.dtype)
+
+
+def _layer(x, lp, k_cache, v_cache, cos, sin, pos_index, pos_mask, cfg: ModelConfig):
+    """One transformer block over a (B, T) chunk against (B, S) caches.
+
+    Returns (x_out, new_k_cache, new_v_cache). Cache write happens at
+    positions `pos_index` (B, T) via a scatter, supporting ragged decode.
+    """
+    b, t, _ = x.shape
+    hd, nh, nkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
+
+    xb = rmsnorm(x, lp["attn_norm"], cfg.norm_eps)
+    q = (xb @ lp["wq"]).reshape(b, t, nh, hd)
+    k = (xb @ lp["wk"]).reshape(b, t, nkv, hd)
+    v = (xb @ lp["wv"]).reshape(b, t, nkv, hd)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    # scatter k,v into the caches at per-slot positions
+    batch_idx = jnp.arange(b)[:, None].repeat(t, 1)  # (B, T)
+    k_cache = k_cache.at[batch_idx, pos_index].set(k.astype(k_cache.dtype))
+    v_cache = v_cache.at[batch_idx, pos_index].set(v.astype(v_cache.dtype))
+
+    att = _attention(q, k_cache, v_cache, pos_mask, cfg)
+    x = x + att @ lp["wo"]
+
+    xb = rmsnorm(x, lp["ffn_norm"], cfg.norm_eps)
+    h1 = xb @ lp["w1"]
+    h3 = xb @ lp["w3"]
+    x = x + (jax.nn.silu(h1) * h3) @ lp["w2"]
+    return x, k_cache, v_cache
+
+
+_LAYER_KEYS = ("attn_norm", "wq", "wk", "wv", "wo", "ffn_norm", "w1", "w2", "w3")
+
+
+def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
+            pos_index: jax.Array, cache: KVCache):
+    """Forward a (B, T) token chunk at per-slot positions (B, T).
+
+    Causal over the cache: position s of slot b is visible to query t iff
+    s <= pos_index[b, t]. Returns (logits (B, T, V) fp32, new KVCache).
+    Used with T=prompt_len for prefill and T=1 for decode.
+    """
+    b, t = tokens.shape
+    x = jnp.take(params["tok_embedding"], tokens, axis=0)
+
+    cos = jnp.take(params["rope_cos"], pos_index, axis=0)  # (B, T, hd/2)
+    sin = jnp.take(params["rope_sin"], pos_index, axis=0)
+
+    s = cache.max_len
+    pos_mask = jnp.arange(s)[None, None, :] <= pos_index[:, :, None]  # (B,T,S)
+
+    layer_params = {k: params[k] for k in _LAYER_KEYS}
+
+    def body(x, xs):
+        lp, k_c, v_c = xs
+        x, k_c, v_c = _layer(x, lp, k_c, v_c, cos, sin, pos_index, pos_mask, cfg)
+        return x, (k_c, v_c)
+
+    x, (k_new, v_new) = jax.lax.scan(body, x, (layer_params, cache.k, cache.v))
+
+    x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+    logits = (x @ params["wcls"]).astype(jnp.float32)
+    return logits, KVCache(k=k_new, v=v_new)
+
+
+def prefill(params: Params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache):
+    """Process a whole (B, T) prompt in one batched pass from position 0."""
+    b, t = tokens.shape
+    pos = jnp.arange(t)[None, :].repeat(b, 0)
+    return forward(params, cfg, tokens, pos, cache)
+
+
+def decode_step(params: Params, cfg: ModelConfig, token: jax.Array,
+                pos: jax.Array, cache: KVCache):
+    """One decode step for a batch of slots at ragged positions.
+
+    token: (B,) int32; pos: (B,) int32. Returns (logits (B, V), new cache).
+    """
+    logits, cache = forward(params, cfg, token[:, None], pos[:, None], cache)
+    return logits[:, 0], cache

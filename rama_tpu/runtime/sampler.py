@@ -1,0 +1,68 @@
+"""Token sampling: greedy argmax and temperature + nucleus (top-p).
+
+Semantic parity with the reference sampler (engine/src/device/cpu.rs:155-179
+`Device::sample` and engine/src/transformer/infer.rs:55-85 `sample_top_q`),
+vectorized over a batch and driven by `jax.random` keys instead of the
+reference's per-token re-seeded ChaCha20 (cpu.rs:161-162 — a quirk we do not
+replicate; determinism here comes from the key fold, the idiomatic JAX way).
+
+Reference semantics kept exactly:
+- temperature == 0 -> greedy argmax (cpu.rs:164-168)
+- temperature < 1 scales logits; temperature > 1 does NOT (cpu.rs:170-172
+  only divides when temperature < 1.0 — documented quirk, preserved because
+  golden outputs depend on it)
+- top-p: drop probs <= (1-p)/(n-1), sort descending, cut at the first prefix
+  whose cumulative mass exceeds p, then draw r = u * cum_prob and walk the CDF
+  (infer.rs:55-85)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_greedy(logits: jax.Array) -> jax.Array:
+    """(..., V) logits -> (...,) int32 argmax token ids."""
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def sample_top_p(logits: jax.Array, key: jax.Array, temperature: float | jax.Array,
+                 top_p: float | jax.Array) -> jax.Array:
+    """Nucleus sampling over (B, V) logits -> (B,) int32 token ids."""
+    b, v = logits.shape
+    logits = logits.astype(jnp.float32)
+    # reference only scales when temperature < 1.0 (cpu.rs:170-172)
+    scale = jnp.where(temperature < 1.0, 1.0 / jnp.maximum(temperature, 1e-6), 1.0)
+    probs = jax.nn.softmax(logits * scale, axis=-1)
+
+    cutoff = (1.0 - top_p) / (v - 1)
+    sp = jnp.sort(probs, axis=-1)[:, ::-1]           # descending probs
+    si = jnp.argsort(-probs, axis=-1)                # matching ids
+    keep = sp > cutoff
+    spk = jnp.where(keep, sp, 0.0)
+    csum = jnp.cumsum(spk, axis=-1)
+
+    # last_index: first prefix with csum > top_p, else the last kept entry
+    over = csum > top_p
+    n_kept = jnp.maximum(jnp.sum(keep, axis=-1), 1)
+    first_over = jnp.argmax(over, axis=-1)
+    last_index = jnp.where(jnp.any(over, axis=-1), first_over, n_kept - 1)  # (B,)
+
+    cum_prob = jnp.take_along_axis(csum, last_index[:, None], axis=-1)[:, 0]
+    r = jax.random.uniform(key, (b,)) * cum_prob
+
+    idx_range = jnp.arange(v)[None, :]
+    candidate = (r[:, None] < csum) & (idx_range <= last_index[:, None]) & keep
+    pick = jnp.where(jnp.any(candidate, axis=-1),
+                     jnp.argmax(candidate, axis=-1), last_index)
+    return jnp.take_along_axis(si, pick[:, None], axis=-1)[:, 0].astype(jnp.int32)
+
+
+def sample(logits: jax.Array, key: jax.Array, temperature: float,
+           top_p: float) -> jax.Array:
+    """Dispatch greedy vs nucleus. `temperature` must be a static float here;
+    inside jitted loops use `sample_top_p` + `jnp.where` on traced values."""
+    if temperature == 0.0:
+        return sample_greedy(logits)
+    return sample_top_p(logits, key, temperature, top_p)

@@ -5,10 +5,17 @@ the framework's correctness net)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the session env may point at TPU
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# sitecustomize may have imported jax (binding JAX_PLATFORMS before we set
+# it); override through the config API, which wins as long as no backend has
+# been initialized yet.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
