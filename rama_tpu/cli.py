@@ -29,11 +29,20 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--temperature", type=float, default=1.0)
     g.add_argument("--seed", type=int, default=100)
     g.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    g.add_argument("--quant", default="auto",
+                   choices=["auto", "none", "int8", "int4"],
+                   help="weight-only quantization: 'auto' keeps v2 files "
+                        "quantized and loads v0/v1 dense; int8/int4 quantize "
+                        "any input at load")
     g.add_argument("--parity", action="store_true",
                    help="token-at-a-time loop (reference semantics) instead of "
                         "the prefill+decode fast path")
     g.add_argument("--platform", default="auto", choices=["auto", "cpu", "tpu"],
                    help="pin the jax backend (the host env may default to TPU)")
+    g.add_argument("--warmup", action="store_true",
+                   help="run the generation once untimed first, so the timed "
+                        "run excludes jit compilation (the reference's CUDA "
+                        "kernels NVRTC-compile at startup, outside its timer)")
 
     e = sub.add_parser("export", help="convert checkpoints between versions")
     e.add_argument("input")
@@ -54,13 +63,30 @@ def cmd_generate(args) -> int:
     from rama_tpu.runtime.generate import generate_text
     from rama_tpu.tokenizer import Tokenizer
 
+    from rama_tpu.checkpoint import load_checkpoint_quantized, load_config, peek_version
+    from rama_tpu.models.llama import load_params_quantized, quantize_params
+
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    cfg, np_params = load_checkpoint(args.model)
-    params = load_params(cfg, np_params, dtype=dtype)
+    version = peek_version(args.model)
+    if args.quant == "auto" and version == 2:
+        qp = load_checkpoint_quantized(args.model)
+        cfg = qp.config
+        params = load_params_quantized(cfg, qp, dtype=dtype)
+    elif args.quant in ("int8", "int4"):
+        cfg, np_params = load_checkpoint(args.model)
+        params = quantize_params(cfg, np_params,
+                                 bits=8 if args.quant == "int8" else 4,
+                                 dtype=dtype)
+    else:
+        cfg, np_params = load_checkpoint(args.model)
+        params = load_params(cfg, np_params, dtype=dtype)
     tokenizer = Tokenizer.from_file(args.tokenizer, cfg.vocab_size)
 
-    # warm-up compile outside the timed region (the reference's first token
-    # pays NVRTC compile similarly at startup, gpu.rs:219-226)
+    if args.warmup:
+        generate_text(params, cfg, tokenizer, args.prompt, steps=args.step,
+                      temperature=args.temperature, top_p=args.topp,
+                      seed=args.seed, cache_dtype=dtype, fast=not args.parity)
+
     t0 = time.time()
     text, ids = generate_text(params, cfg, tokenizer, args.prompt,
                               steps=args.step, temperature=args.temperature,

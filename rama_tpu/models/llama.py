@@ -31,10 +31,51 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rama_tpu.checkpoint import compute_freqs
+from rama_tpu.checkpoint import QuantParams, compute_freqs
 from rama_tpu.config import ModelConfig
+from rama_tpu.ops.quant import (QuantizedEmbedding, QuantizedTensor,
+                                from_q80_file_layout, matmul_xla,
+                                quantize_embedding, quantize_int4,
+                                quantize_int8)
 
 Params = dict[str, Any]
+
+
+def _linear(x: jax.Array, w) -> jax.Array:
+    """x (..., K) @ w — w is a dense array or a QuantizedTensor.
+
+    Quantized weights go through the fused Pallas dequant+matmul on TPU and
+    the numerically-identical XLA dequant path elsewhere (tests, CPU mesh).
+    """
+    if isinstance(w, QuantizedTensor):
+        *lead, k = x.shape
+        x2 = x.reshape(-1, k)
+        if jax.default_backend() == "tpu" and _kernel_tileable(w):
+            from rama_tpu.ops.pallas.quant_matmul import quant_matmul
+
+            out = quant_matmul(x2, w)
+        else:
+            out = matmul_xla(x2, w, dtype=x.dtype)
+        return out.reshape(*lead, w.shape[-1])
+    return x @ w
+
+
+def _kernel_tileable(w: QuantizedTensor) -> bool:
+    """The Pallas kernel needs 128-lane N tiles and whole scale groups per
+    K tile; small-model shapes (e.g. stories15M dim=288) fall back to XLA."""
+    k, n = w.shape[-2], w.shape[-1]
+    if n % 128 != 0:
+        return False
+    if w.bits == 4:
+        # x_lo/x_hi blocks slice half-K lanes, so K/2 must tile to 128 lanes
+        return (k // 2) % 128 == 0 and (k // 2) % w.group_size == 0
+    return k % max(w.group_size, 32) == 0
+
+
+def _embed(tok_embedding, tokens: jax.Array, dtype) -> jax.Array:
+    if isinstance(tok_embedding, QuantizedEmbedding):
+        return tok_embedding.lookup(tokens, dtype=dtype)
+    return jnp.take(tok_embedding, tokens, axis=0)
 
 
 @jax.tree_util.register_dataclass
@@ -66,6 +107,68 @@ def load_params(cfg: ModelConfig, np_params: dict, dtype=jnp.bfloat16) -> Params
     p = {k: jnp.asarray(v, dtype=dtype) for k, v in np_params.items()}
     cos, sin = compute_freqs(cfg)
     # RoPE tables stay fp32: rotation error compounds over positions.
+    p["rope_cos"] = jnp.asarray(cos, jnp.float32)
+    p["rope_sin"] = jnp.asarray(sin, jnp.float32)
+    return p
+
+
+_QUANT_LAYER_NAMES = ("wq", "wk", "wv", "wo", "w1", "w2", "w3")
+
+
+def load_params_quantized(cfg: ModelConfig, qp: QuantParams,
+                          dtype=jnp.bfloat16) -> Params:
+    """v2 (Q8_0) checkpoint -> quantized device pytree, keeping the file's
+    int8 bytes (no requantization anywhere, including the shared classifier)."""
+    p: Params = {
+        "attn_norm": jnp.asarray(qp.norms["attn_norm"], dtype),
+        "ffn_norm": jnp.asarray(qp.norms["ffn_norm"], dtype),
+        "final_norm": jnp.asarray(qp.norms["final_norm"], dtype),
+    }
+    eq, es = qp.quant["tok_embedding"]  # (V, D) int8, (V, D//gs) f32
+    emb = QuantizedEmbedding(q=jnp.asarray(eq), scales=jnp.asarray(es),
+                             group_size=qp.group_size)
+    p["tok_embedding"] = emb
+    for name in _QUANT_LAYER_NAMES:
+        q, s = qp.quant[name]  # (L, out, in) + (L, out, in//gs)
+        p[name] = from_q80_file_layout(q, s, qp.group_size)
+    if cfg.shared_classifier:
+        p["wcls"] = emb.as_classifier()
+    else:
+        q, s = qp.quant["wcls"]
+        p["wcls"] = from_q80_file_layout(q, s, qp.group_size)
+    cos, sin = compute_freqs(cfg)
+    p["rope_cos"] = jnp.asarray(cos, jnp.float32)
+    p["rope_sin"] = jnp.asarray(sin, jnp.float32)
+    return p
+
+
+def quantize_params(cfg: ModelConfig, np_params: dict, bits: int = 8,
+                    group_size: int = 64, dtype=jnp.bfloat16,
+                    quantize_embedding_table: bool = True) -> Params:
+    """Quantize canonical fp32 params at load time (weight-only INT8/INT4).
+
+    The matmul weights take groups along their input dim (kernel layout);
+    INT4 uses the split-half nibble packing. The embedding (and the shared
+    classifier derived from it) stays INT8 — int4 embeddings cost accuracy
+    for negligible bandwidth, since the lookup reads one row per token.
+    """
+    quant = quantize_int8 if bits == 8 else quantize_int4
+    p: Params = {
+        "attn_norm": jnp.asarray(np_params["attn_norm"], dtype),
+        "ffn_norm": jnp.asarray(np_params["ffn_norm"], dtype),
+        "final_norm": jnp.asarray(np_params["final_norm"], dtype),
+    }
+    for name in _QUANT_LAYER_NAMES:
+        p[name] = quant(np.asarray(np_params[name]), group_size)
+    if quantize_embedding_table:
+        emb = quantize_embedding(np.asarray(np_params["tok_embedding"]), group_size)
+        p["tok_embedding"] = emb
+        p["wcls"] = (emb.as_classifier() if cfg.shared_classifier
+                     else quantize_int8(np.asarray(np_params["wcls"]), group_size))
+    else:
+        p["tok_embedding"] = jnp.asarray(np_params["tok_embedding"], dtype)
+        p["wcls"] = jnp.asarray(np_params["wcls"], dtype)
+    cos, sin = compute_freqs(cfg)
     p["rope_cos"] = jnp.asarray(cos, jnp.float32)
     p["rope_sin"] = jnp.asarray(sin, jnp.float32)
     return p
@@ -127,9 +230,9 @@ def _layer(x, lp, k_cache, v_cache, cos, sin, pos_index, pos_mask, cfg: ModelCon
     hd, nh, nkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
 
     xb = rmsnorm(x, lp["attn_norm"], cfg.norm_eps)
-    q = (xb @ lp["wq"]).reshape(b, t, nh, hd)
-    k = (xb @ lp["wk"]).reshape(b, t, nkv, hd)
-    v = (xb @ lp["wv"]).reshape(b, t, nkv, hd)
+    q = _linear(xb, lp["wq"]).reshape(b, t, nh, hd)
+    k = _linear(xb, lp["wk"]).reshape(b, t, nkv, hd)
+    v = _linear(xb, lp["wv"]).reshape(b, t, nkv, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -139,12 +242,12 @@ def _layer(x, lp, k_cache, v_cache, cos, sin, pos_index, pos_mask, cfg: ModelCon
     v_cache = v_cache.at[batch_idx, pos_index].set(v.astype(v_cache.dtype))
 
     att = _attention(q, k_cache, v_cache, pos_mask, cfg)
-    x = x + att @ lp["wo"]
+    x = x + _linear(att, lp["wo"])
 
     xb = rmsnorm(x, lp["ffn_norm"], cfg.norm_eps)
-    h1 = xb @ lp["w1"]
-    h3 = xb @ lp["w3"]
-    x = x + (jax.nn.silu(h1) * h3) @ lp["w2"]
+    h1 = _linear(xb, lp["w1"])
+    h3 = _linear(xb, lp["w3"])
+    x = x + _linear(jax.nn.silu(h1) * h3, lp["w2"])
     return x, k_cache, v_cache
 
 
@@ -160,7 +263,8 @@ def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
     Used with T=prompt_len for prefill and T=1 for decode.
     """
     b, t = tokens.shape
-    x = jnp.take(params["tok_embedding"], tokens, axis=0)
+    dtype = params["final_norm"].dtype
+    x = _embed(params["tok_embedding"], tokens, dtype)
 
     cos = jnp.take(params["rope_cos"], pos_index, axis=0)  # (B, T, hd/2)
     sin = jnp.take(params["rope_sin"], pos_index, axis=0)
@@ -178,7 +282,7 @@ def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
     x, (k_new, v_new) = jax.lax.scan(body, x, (layer_params, cache.k, cache.v))
 
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
-    logits = (x @ params["wcls"]).astype(jnp.float32)
+    logits = _linear(x, params["wcls"]).astype(jnp.float32)
     return logits, KVCache(k=k_new, v=v_new)
 
 

@@ -1,0 +1,175 @@
+"""Fused dequantize + matmul Pallas TPU kernel (INT8 / packed INT4).
+
+The hot op of the quantized engine — the TPU-native answer to the role the
+reference's cuBLAS SGEMM + naive CUDA matmul played (engine/src/device/
+gpu.rs:175-189, math.cu:3-15), except the weights stream from HBM as int8/int4
+and are expanded to bf16 *in VMEM on the way into the MXU*, never materialized
+dequantized in HBM. Decode is HBM-bandwidth-bound, so the 2-4x byte reduction
+is the speedup.
+
+Layout (see rama_tpu.ops.quant): x (M, K) bf16; q (K, N) int8 (int4: (K//2, N)
+two K-adjacent nibbles per byte); scales (K//gs, N) fp32. Output (M, N) in the
+activation dtype, fp32 accumulation across K tiles.
+
+Tiling: grid (N//bn, K//bk), K innermost so the fp32 accumulator scratch
+carries partial sums across K steps (revisiting the same output tile), per the
+Pallas TPU matmul pattern. bk is a multiple of the quant group size so each
+scale block covers whole groups.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rama_tpu.ops.quant import QuantizedTensor
+
+
+def _kernel_int8(x_ref, q_ref, s_ref, o_ref, acc_ref, *, gs: int, out_dtype):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w8 = q_ref[...]                                  # (bk, bn) int8
+    bk, bn = w8.shape
+    scales = s_ref[...]                              # (bk//gs, bn) f32
+    # per-group dequant: split K into (groups, gs), broadcast scales, rejoin.
+    # (pltpu.repeat tiles rather than element-repeats, so it can't be used.)
+    w = (w8.astype(jnp.float32).reshape(bk // gs, gs, bn)
+         * scales[:, None, :]).reshape(bk, bn).astype(jnp.bfloat16)
+    acc_ref[...] += jnp.dot(x_ref[...].astype(jnp.bfloat16), w,
+                            preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+def _kernel_int4(x_lo_ref, x_hi_ref, q_ref, s_lo_ref, s_hi_ref, o_ref, acc_ref,
+                 *, gs: int, out_dtype):
+    """Split-half int4: byte row r carries K-row r (low nibble) and r + K/2
+    (high nibble), so a packed tile expands to two clean half-K tiles — two
+    shifts + two MXU dots, no sublane interleave relayout."""
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # Mosaic can't legalize shifts on int8 vectors; unpack in int32.
+    p32 = q_ref[...].astype(jnp.int32)               # (bk2, bn)
+    bk2, bn = p32.shape
+    lo = (p32 << 28) >> 28                           # sign-extended low nibble
+    hi = p32 >> 4                                    # int8 sign == high-nibble sign
+
+    def deq(w4, s):
+        return (w4.astype(jnp.float32).reshape(bk2 // gs, gs, bn)
+                * s[:, None, :]).reshape(bk2, bn).astype(jnp.bfloat16)
+
+    acc_ref[...] += jnp.dot(x_lo_ref[...].astype(jnp.bfloat16), deq(lo, s_lo_ref[...]),
+                            preferred_element_type=jnp.float32)
+    acc_ref[...] += jnp.dot(x_hi_ref[...].astype(jnp.bfloat16), deq(hi, s_hi_ref[...]),
+                            preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+def _pick_block(dim: int, target: int, multiple: int) -> int:
+    """Largest divisor of `dim` that is <= target and a multiple of `multiple`;
+    falls back to the full dim when no such divisor exists."""
+    best = dim
+    b = multiple
+    while b <= min(dim, target):
+        if dim % b == 0:
+            best = b
+        b += multiple
+    return best if dim % best == 0 else dim
+
+
+def _pick_k_block(k: int, target: int, gs: int) -> int:
+    """K-tile size: a divisor of k, whole scale groups per tile, and Mosaic
+    block-shape legal — bk%128 lanes for the x block and (bk//gs)%8 sublanes
+    for the scales block — or the full K (always legal)."""
+    cands = [d for d in range(gs, min(k, target) + 1, gs)
+             if k % d == 0 and (d // gs) % 8 == 0 and d % 128 == 0]
+    return max(cands) if cands else k
+
+
+@partial(jax.jit, static_argnames=("block_m", "block_k", "block_n", "interpret"))
+def quant_matmul(x: jax.Array, qt: QuantizedTensor, *, block_m: int = 256,
+                 block_k: int = 1024, block_n: int = 512,
+                 interpret: bool = False) -> jax.Array:
+    """x (M, K) @ dequant(qt) (K, N) -> (M, N), never materializing W in HBM."""
+    m, k = x.shape
+    kq, n = qt.shape[-2], qt.shape[-1]
+    assert k == kq, f"K mismatch: x {k} vs qt {kq}"
+    gs = qt.group_size
+
+    bk = _pick_k_block(k, block_k, gs)
+    bn = _pick_block(n, block_n, 128)
+    bm = min(m, block_m)
+    if m % bm:  # pad M up to a tile
+        pad = bm - m % bm
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    mp = x.shape[0]
+
+    common = dict(
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )
+
+    if qt.bits == 8:
+        grid = (mp // bm, n // bn, k // bk)
+        out = pl.pallas_call(
+            partial(_kernel_int8, gs=gs, out_dtype=x.dtype),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
+                pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j)),
+                pl.BlockSpec((bk // gs, bn), lambda i, j, kk: (kk, j)),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * mp * k * n,
+                bytes_accessed=mp * k * 2 + k * n + mp * n * 2,
+                transcendentals=0,
+            ),
+            **common,
+        )(x, qt.q, qt.scales)
+    else:
+        # split-half packing: byte rows cover K/2; grid K-steps walk half-K
+        # tiles, each expanding to rows [off, off+bk2) and [K/2+off, ...).
+        # Scales are pre-split into lo/hi halves so each block spec is legal
+        # even when the half doesn't tile to 8 sublanes (full-array blocks).
+        kh = k // 2
+        bk2 = _pick_k_block(kh, max(bk // 2, 1), gs)
+        nk = kh // bk2
+        s_lo = qt.scales[: kh // gs]
+        s_hi = qt.scales[kh // gs :]
+        grid = (mp // bm, n // bn, nk)
+        out = pl.pallas_call(
+            partial(_kernel_int4, gs=gs, out_dtype=x.dtype),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, bk2), lambda i, j, kk: (i, kk)),
+                pl.BlockSpec((bm, bk2), lambda i, j, kk, nk=nk: (i, kk + nk)),
+                pl.BlockSpec((bk2, bn), lambda i, j, kk: (kk, j)),
+                pl.BlockSpec((bk2 // gs, bn), lambda i, j, kk: (kk, j)),
+                pl.BlockSpec((bk2 // gs, bn), lambda i, j, kk: (kk, j)),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * mp * k * n,
+                bytes_accessed=mp * k * 2 + (k * n) // 2 + mp * n * 2,
+                transcendentals=0,
+            ),
+            **common,
+        )(x, x, qt.q, s_lo, s_hi)
+    return out[:m] if mp != m else out

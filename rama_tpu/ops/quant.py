@@ -1,0 +1,171 @@
+"""Weight-only group quantization: INT8 (Q8_0) and packed INT4.
+
+The TPU-native consumption of the reference's v2 export format
+(engine/export/export.py:46-70, 182-260): symmetric per-group scales,
+group_size contiguous input-dim elements per scale. The reference *exports*
+Q8_0 but its engine never reads it (README.md:116 TODO); here quantized
+weights are first-class.
+
+Layout contract (kernel-facing):
+    q:      int8, (K, N)        — input-dim-major, output columns
+    scales: fp32, (K//gs, N)    — one scale per (input-group, output column)
+INT4 packs two nibbles per byte in a *split-half* layout: q4[k, n] holds row
+k in the low nibble and row k + K/2 in the high nibble, values in [-7, 7]
+(scale = absmax/7). Split-half (not K-adjacent interleave) lets the Pallas
+kernel unpack with two shifts and run two MXU dots — no sublane interleave
+relayout, which costs ~50x on Mosaic.
+
+Why decode gets faster: single-token decode is HBM-bandwidth-bound — the
+whole win is reading 1 (or 0.5) bytes per weight instead of 2/4. The fused
+Pallas kernel (rama_tpu.ops.pallas.quant_matmul) dequantizes tiles in VMEM on
+the way into the MXU; `matmul_xla` below is the numerically-identical
+reference path used in tests and as a CPU fallback.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["q", "scales"], meta_fields=["group_size", "bits"])
+@dataclass
+class QuantizedTensor:
+    """Group-quantized 2-D (or stacked 3-D (L, K, N)) weight."""
+
+    q: jax.Array       # int8; (.., K, N) for int8, (.., K//2, N) for int4
+    scales: jax.Array  # fp32; (.., K//gs, N)
+    group_size: int
+    bits: int = 8
+
+    @property
+    def k_dim(self) -> int:
+        k = self.q.shape[-2]
+        return k * 2 if self.bits == 4 else k
+
+    @property
+    def shape(self) -> tuple:
+        return (*self.q.shape[:-2], self.k_dim, self.q.shape[-1])
+
+
+def quantize_int8(w, group_size: int) -> QuantizedTensor:
+    """w: (.., K, N) float -> Q8_0 along K in groups of group_size.
+
+    numpy inputs are quantized on the host (one device_put instead of a
+    compiled program per tensor — load-time friendly on tunneled devices).
+    """
+    if isinstance(w, np.ndarray):
+        *lead, k, n = w.shape
+        wf = w.astype(np.float32).reshape(*lead, k // group_size, group_size, n)
+        absmax = np.abs(wf).max(axis=-2, keepdims=True)
+        scales = np.maximum(absmax / 127.0, 1e-10).astype(np.float32)
+        q = np.round(wf / scales).astype(np.int8).reshape(*lead, k, n)
+        return QuantizedTensor(q=jnp.asarray(q), scales=jnp.asarray(scales[..., 0, :]),
+                               group_size=group_size, bits=8)
+    *lead, k, n = w.shape
+    wf = w.astype(jnp.float32).reshape(*lead, k // group_size, group_size, n)
+    absmax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+    scales = jnp.maximum(absmax / 127.0, 1e-10)
+    q = jnp.round(wf / scales).astype(jnp.int8).reshape(*lead, k, n)
+    return QuantizedTensor(q=q, scales=scales[..., 0, :], group_size=group_size, bits=8)
+
+
+def quantize_int4(w, group_size: int) -> QuantizedTensor:
+    """w: (.., K, N) float -> split-half packed int4 (see module docstring)."""
+    xp = np if isinstance(w, np.ndarray) else jnp
+    *lead, k, n = w.shape
+    wf = w.astype(xp.float32).reshape(*lead, k // group_size, group_size, n)
+    absmax = xp.abs(wf).max(axis=-2, keepdims=True) if xp is np else jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+    scales = xp.maximum(absmax / 7.0, 1e-10)
+    q = xp.clip(xp.round(wf / scales), -7, 7).astype(xp.int8)
+    q = q.reshape(*lead, k, n)
+    lo = q[..., : k // 2, :] & 0x0F
+    hi = (q[..., k // 2 :, :] & 0x0F) << 4
+    packed = (lo | hi).astype(xp.int8)
+    scales = scales[..., 0, :]
+    if xp is np:
+        packed, scales = jnp.asarray(packed), jnp.asarray(scales.astype(np.float32))
+    return QuantizedTensor(q=packed, scales=scales, group_size=group_size, bits=4)
+
+
+def _unpack_int4(packed: jax.Array) -> jax.Array:
+    """(.., K//2, N) packed -> (.., K, N) int8: rows [0,K/2) from low nibbles,
+    rows [K/2, K) from high nibbles (sign-extended)."""
+    p32 = packed.astype(jnp.int32)
+    lo = ((p32 << 28) >> 28).astype(jnp.int8)
+    hi = (p32 >> 4).astype(jnp.int8)  # int8 sign == high-nibble sign
+    return jnp.concatenate([lo, hi], axis=-2)
+
+
+def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
+    q = _unpack_int4(qt.q) if qt.bits == 4 else qt.q
+    *lead, k, n = q.shape
+    gs = qt.group_size
+    w = q.astype(jnp.float32).reshape(*lead, k // gs, gs, n)
+    w = w * qt.scales[..., :, None, :]
+    return w.reshape(*lead, k, n).astype(dtype)
+
+
+def matmul_xla(x: jax.Array, qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
+    """Reference path: dequantize then dot. Numerically defines the op."""
+    w = dequantize(qt, dtype=dtype)
+    return jnp.dot(x.astype(dtype), w, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["q", "scales"], meta_fields=["group_size"])
+@dataclass
+class QuantizedEmbedding:
+    """Embedding table quantized per-row along the feature dim: q (V, D) int8,
+    scales (V, D//gs) fp32 — the v2 file's tok_embedding layout as-is."""
+
+    q: jax.Array
+    scales: jax.Array
+    group_size: int
+
+    def lookup(self, ids: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+        rows = jnp.take(self.q, ids, axis=0).astype(jnp.float32)   # (.., D)
+        s = jnp.take(self.scales, ids, axis=0)                     # (.., D//gs)
+        *lead, d = rows.shape
+        gs = self.group_size
+        out = rows.reshape(*lead, d // gs, gs) * s[..., None]
+        return out.reshape(*lead, d).astype(dtype)
+
+    def as_classifier(self) -> QuantizedTensor:
+        """Shared-classifier view: exactly the embedding bytes, transposed to
+        the kernel layout (D, V) with scales (D//gs, V) — zero requantization
+        (the reference encodes sharing via the v0 negative-vocab flag;
+        mod.rs:150-158)."""
+        return QuantizedTensor(q=self.q.T, scales=self.scales.T,
+                               group_size=self.group_size, bits=8)
+
+
+def quantize_embedding(w, group_size: int) -> QuantizedEmbedding:
+    """w: (V, D) float -> per-row Q8_0 along D (host-side for numpy inputs)."""
+    v, d = w.shape
+    if isinstance(w, np.ndarray):
+        wf = w.astype(np.float32).reshape(v, d // group_size, group_size)
+        absmax = np.abs(wf).max(axis=-1, keepdims=True)
+        scales = np.maximum(absmax / 127.0, 1e-10).astype(np.float32)
+        q = np.round(wf / scales).astype(np.int8).reshape(v, d)
+        return QuantizedEmbedding(q=jnp.asarray(q), scales=jnp.asarray(scales[..., 0]),
+                                  group_size=group_size)
+    wf = w.astype(jnp.float32).reshape(v, d // group_size, group_size)
+    absmax = jnp.max(jnp.abs(wf), axis=-1, keepdims=True)
+    scales = jnp.maximum(absmax / 127.0, 1e-10)
+    q = jnp.round(wf / scales).astype(jnp.int8).reshape(v, d)
+    return QuantizedEmbedding(q=q, scales=scales[..., 0], group_size=group_size)
+
+
+def from_q80_file_layout(q_file: np.ndarray, s_file: np.ndarray,
+                         group_size: int) -> QuantizedTensor:
+    """Convert checkpoint.QuantParams entries — int8 (.., out, in) with scales
+    (.., out, in//gs) — to the kernel layout (.., in, out) / (.., in//gs, out)."""
+    q = jnp.asarray(np.swapaxes(q_file, -1, -2))
+    s = jnp.asarray(np.swapaxes(s_file, -1, -2), jnp.float32)
+    return QuantizedTensor(q=q, scales=s, group_size=group_size, bits=8)

@@ -1,0 +1,97 @@
+"""Quantized matmul: jnp ops and the fused Pallas kernel (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rama_tpu.ops.quant import (QuantizedTensor, dequantize, from_q80_file_layout,
+                                matmul_xla, quantize_int4, quantize_int8)
+from rama_tpu.ops.pallas.quant_matmul import quant_matmul
+
+
+@pytest.fixture(scope="module")
+def wx(rng_mod=np.random.default_rng(5)):
+    k, n = 256, 384
+    w = rng_mod.standard_normal((k, n)).astype(np.float32) * 0.1
+    x = rng_mod.standard_normal((4, k)).astype(np.float32) * 0.5
+    return jnp.asarray(w), jnp.asarray(x)
+
+
+def test_int8_roundtrip(wx):
+    w, _ = wx
+    qt = quantize_int8(w, 64)
+    deq = dequantize(qt, jnp.float32)
+    # max error bounded by scale/2 = absmax/254 per group
+    err = jnp.max(jnp.abs(deq - w))
+    assert err < float(jnp.max(jnp.abs(w))) / 127
+    assert qt.shape == w.shape
+
+
+def test_int4_roundtrip(wx):
+    w, _ = wx
+    qt = quantize_int4(w, 64)
+    assert qt.q.shape == (w.shape[0] // 2, w.shape[1])
+    deq = dequantize(qt, jnp.float32)
+    err = jnp.max(jnp.abs(deq - w))
+    assert err < float(jnp.max(jnp.abs(w))) / 7  # scale = absmax/7, err <= scale/2 per group
+
+
+def test_int4_pack_unpack_exact():
+    w = jnp.asarray(np.arange(-7, 8, dtype=np.float32).repeat(16)[:224].reshape(14, 16))
+    qt = quantize_int4(w, 14)
+    deq = dequantize(qt, jnp.float32)
+    np.testing.assert_allclose(np.asarray(deq), np.asarray(w), atol=1e-2)
+
+
+def test_matmul_xla_close_to_fp32(wx):
+    w, x = wx
+    qt = quantize_int8(w, 64)
+    got = matmul_xla(x, qt, dtype=jnp.float32)
+    want = x @ w
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0.05, rtol=0.05)
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_pallas_kernel_matches_xla(wx, bits):
+    w, x = wx
+    quant = quantize_int8 if bits == 8 else quantize_int4
+    qt = quant(w, 64)
+    want = matmul_xla(x.astype(jnp.bfloat16), qt)
+    got = quant_matmul(x.astype(jnp.bfloat16), qt,
+                       block_m=8, block_k=128, block_n=128, interpret=True)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want, np.float32),
+                               atol=0.1, rtol=0.1)
+
+
+def test_pallas_kernel_m_padding(wx):
+    """M not a multiple of the tile gets padded and cropped."""
+    w, _ = wx
+    x = jnp.ones((3, w.shape[0]), jnp.bfloat16) * 0.1
+    qt = quantize_int8(w, 64)
+    got = quant_matmul(x, qt, block_m=8, block_k=128, block_n=128, interpret=True)
+    want = matmul_xla(x, qt)
+    assert got.shape == (3, w.shape[1])
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want, np.float32),
+                               atol=0.1, rtol=0.1)
+
+
+def test_file_layout_conversion():
+    rng = np.random.default_rng(2)
+    out_dim, in_dim, gs = 12, 64, 16
+    w_file = rng.standard_normal((out_dim, in_dim)).astype(np.float32)
+    from rama_tpu.checkpoint import quantize_q80
+    qf, sf, _ = quantize_q80(w_file, gs)
+    qt = from_q80_file_layout(qf.reshape(out_dim, in_dim), sf.reshape(out_dim, in_dim // gs), gs)
+    deq = np.asarray(dequantize(qt, jnp.float32))   # (in, out)
+    want = (qf.reshape(-1, gs).astype(np.float32) * sf[:, None]).reshape(out_dim, in_dim)
+    np.testing.assert_allclose(deq, want.T, atol=1e-6)
+
+
+def test_quantized_tensor_is_pytree():
+    qt = quantize_int8(jnp.ones((64, 128)), 32)
+    leaves = jax.tree_util.tree_leaves(qt)
+    assert len(leaves) == 2
+    qt2 = jax.tree_util.tree_map(lambda x: x, qt)
+    assert qt2.group_size == 32 and qt2.bits == 8
