@@ -1,0 +1,283 @@
+"""Continuous-batching inference engine — the framework's L5.
+
+The reference's EngineService (engine/src/lib.rs:56-160) spawns one async task
+per request, each with a freshly allocated KV cache, and every request decodes
+alone (batch=1). Its `batcher.rs` sketched request batching but was never
+wired (SURVEY §2 #20). This engine finishes that thought the TPU way:
+
+- a fixed pool of **slots** in one batched KV cache (the jit-compiled decode
+  step always runs at the same (max_batch,) shape — no recompiles);
+- **continuous batching**: requests join mid-flight at their own position
+  (the forward pass takes a per-slot position vector), finished slots free
+  immediately for the admission queue;
+- **bucketed prefill**: prompts prefill in one batched pass (padded to a
+  power-of-two bucket to bound compile count), the resulting K/V inserted
+  into the slot with one dynamic_update_slice;
+- per-slot sampling parameters, sampled *inside* the compiled step.
+
+Threading: one engine thread owns the device loop (JAX calls block); request
+queues bridge to async servers. Tokens stream per-request through
+`Request.queue`. This is the seam the SSE server sits on, mirroring the
+bounded(30) admission channel of the reference (server/src/main.rs:68).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rama_tpu.config import EngineConfig, ModelConfig
+from rama_tpu.models.llama import KVCache, decode_step, forward
+from rama_tpu.runtime.sampler import sample_batched
+from rama_tpu.tokenizer import BOS_ID, EOS_ID, Tokenizer
+
+
+@dataclass
+class Request:
+    prompt: str
+    steps: int
+    temperature: float = 1.0
+    top_p: float = 0.9
+    stop_at_eos: bool = True
+    echo_prompt: bool = False
+    queue: "queue.Queue[Optional[str]]" = field(default_factory=lambda: queue.Queue())
+    cancelled: bool = False  # set by the server on client disconnect
+    submitted_at: float = field(default_factory=time.time)
+    first_token_at: float | None = None
+    tokens_out: int = 0
+    # filled by the engine
+    prompt_ids: list[int] = field(default_factory=list)
+
+
+class _Slot:
+    __slots__ = ("request", "pos", "generated", "last_token")
+
+    def __init__(self):
+        self.request: Request | None = None
+        self.pos = 0
+        self.generated = 0
+        self.last_token = 0
+
+    @property
+    def free(self) -> bool:
+        return self.request is None
+
+
+def _bucket(n: int, lo: int = 16) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def _decode_tick(params, cfg: ModelConfig, tokens, pos, temps, top_ps, key,
+                 cache: KVCache):
+    """One batched decode step + in-graph sampling for all slots."""
+    logits, cache = decode_step(params, cfg, tokens, pos, cache)
+    nxt = sample_batched(logits, key, temps, top_ps)
+    return nxt, cache
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _prefill(params, cfg: ModelConfig, tokens_padded, true_len, temp, top_p, key):
+    """Prefill one prompt (padded to a bucket) in a scratch cache.
+
+    Padded positions write to the last scratch row and are never attended by
+    real queries; returns (first sampled token, k (L,T,kv,hd), v (L,T,kv,hd)).
+    """
+    t_pad = tokens_padded.shape[0]
+    scratch = KVCache.create(cfg, batch=1, max_len=t_pad)
+    idx = jnp.arange(t_pad)
+    pos_index = jnp.where(idx < true_len, idx, t_pad - 1)[None, :]
+    logits, scratch = forward(params, cfg, tokens_padded[None, :], pos_index, scratch)
+    last = logits[0, true_len - 1][None, :]
+    first = sample_batched(last, key, temp[None], top_p[None])[0]
+    return first, scratch.k[:, 0], scratch.v[:, 0]
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def _insert(cfg: ModelConfig, cache: KVCache, k_new, v_new, slot):
+    """Copy a prefilled (L, T, kv, hd) K/V strip into slot `slot` at pos 0."""
+    k = jax.lax.dynamic_update_slice(cache.k, k_new[:, None].astype(cache.k.dtype),
+                                     (0, slot, 0, 0, 0))
+    v = jax.lax.dynamic_update_slice(cache.v, v_new[:, None].astype(cache.v.dtype),
+                                     (0, slot, 0, 0, 0))
+    return KVCache(k=k, v=v)
+
+
+class Engine:
+    """Owns the model, the slot pool, and the device loop thread."""
+
+    def __init__(self, cfg: ModelConfig, params, tokenizer: Tokenizer,
+                 engine_config: EngineConfig | None = None):
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.ecfg = engine_config or EngineConfig()
+        b = self.ecfg.max_batch_size
+        self.max_len = min(self.ecfg.max_seq_len or cfg.seq_len, cfg.seq_len)
+        self.cache = KVCache.create(cfg, batch=b, max_len=self.max_len)
+        self.slots = [_Slot() for _ in range(b)]
+        # bounded admission queue — reference uses bounded(30), main.rs:68
+        self.admission: "queue.Queue[Request]" = queue.Queue(maxsize=30)
+        self.key = jax.random.PRNGKey(self.ecfg.seed)
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._wake = threading.Event()
+        # metrics
+        self.metrics = {
+            "tokens_generated": 0,
+            "requests_completed": 0,
+            "ttft_ms": [],          # recent TTFTs
+            "decode_ticks": 0,
+            "decode_s": 0.0,
+        }
+
+    # -- public API ---------------------------------------------------------
+
+    def submit(self, req: Request, timeout: float | None = None) -> Request:
+        req.prompt_ids = (self.tokenizer.encode(req.prompt, strict=False)
+                          if req.prompt else [])
+        # leave room for BOS and at least one generated token
+        req.prompt_ids = req.prompt_ids[: self.max_len - 2]
+        max_new = self.max_len - len(req.prompt_ids) - 1
+        req.steps = max(1, min(req.steps, max_new))
+        self.admission.put(req, timeout=timeout)
+        self._wake.set()
+        return req
+
+    def start(self):
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="rama-engine")
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        self._wake.set()
+        if self._thread:
+            self._thread.join(timeout=30)
+
+    # -- device loop --------------------------------------------------------
+
+    def _admit(self):
+        for i, slot in enumerate(self.slots):
+            if not slot.free:
+                continue
+            try:
+                req = self.admission.get_nowait()
+            except queue.Empty:
+                return
+            self._start_request(i, slot, req)
+
+    def _start_request(self, slot_idx: int, slot: _Slot, req: Request):
+        cfg = self.cfg
+        ids = [BOS_ID] + req.prompt_ids
+        t_pad = _bucket(len(ids))
+        padded = np.zeros(t_pad, np.int32)
+        padded[: len(ids)] = ids
+        self.key, sub = jax.random.split(self.key)
+        first, k_new, v_new = _prefill(
+            self.params, cfg, jnp.asarray(padded), jnp.int32(len(ids)),
+            jnp.float32(req.temperature), jnp.float32(req.top_p), sub)
+        # pad strip may exceed cache length for long prompts; crop
+        t_ins = min(t_pad, self.max_len)
+        self.cache = _insert(cfg, self.cache, k_new[:, :t_ins], v_new[:, :t_ins],
+                             jnp.int32(slot_idx))
+        slot.request = req
+        slot.pos = len(ids)            # next decode position
+        slot.generated = 0
+        slot.last_token = int(first)
+        if req.echo_prompt:
+            # the reference stream re-emits prompt tokens while force-feeding
+            # them (mod.rs:227-241); serving callers usually don't want that
+            for t in req.prompt_ids:
+                req.queue.put(self.tokenizer.decode_token(t))
+        self._emit(slot, int(first))
+
+    def _emit(self, slot: _Slot, token: int):
+        req = slot.request
+        if req.first_token_at is None:
+            req.first_token_at = time.time()
+            self.metrics["ttft_ms"].append(
+                (req.first_token_at - req.submitted_at) * 1000.0)
+            del self.metrics["ttft_ms"][:-256]
+        slot.generated += 1
+        req.tokens_out += 1
+        self.metrics["tokens_generated"] += 1
+        text = self.tokenizer.decode_token(token)
+        req.queue.put(text)
+        if (req.cancelled
+                or (req.stop_at_eos and token == EOS_ID)
+                or slot.generated >= req.steps
+                or slot.pos >= self.max_len):
+            self._finish(slot)
+
+    def _finish(self, slot: _Slot):
+        slot.request.queue.put(None)  # end-of-stream sentinel
+        slot.request = None
+        self.metrics["requests_completed"] += 1
+
+    def _loop(self):
+        cfg = self.cfg
+        b = len(self.slots)
+        while not self._stop.is_set():
+            self._admit()
+            active = [s for s in self.slots if not s.free]
+            if not active:
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+                continue
+
+            tokens = np.zeros(b, np.int32)
+            pos = np.zeros(b, np.int32)
+            temps = np.zeros(b, np.float32)
+            tps = np.full(b, 0.9, np.float32)
+            for i, s in enumerate(self.slots):
+                if s.free:
+                    continue
+                tokens[i] = s.last_token
+                pos[i] = s.pos
+                temps[i] = s.request.temperature
+                tps[i] = s.request.top_p
+            self.key, sub = jax.random.split(self.key)
+            t0 = time.time()
+            nxt, self.cache = _decode_tick(
+                self.params, cfg, jnp.asarray(tokens), jnp.asarray(pos),
+                jnp.asarray(temps), jnp.asarray(tps), sub, self.cache)
+            nxt = np.asarray(nxt)
+            self.metrics["decode_ticks"] += 1
+            self.metrics["decode_s"] += time.time() - t0
+            for i, s in enumerate(self.slots):
+                if s.free:
+                    continue
+                s.pos += 1
+                s.last_token = int(nxt[i])
+                self._emit(s, s.last_token)
+
+    # -- observability ------------------------------------------------------
+
+    def stats(self) -> dict:
+        m = self.metrics
+        ttfts = sorted(m["ttft_ms"])
+        act = sum(1 for s in self.slots if not s.free)
+        return {
+            "tokens_generated": m["tokens_generated"],
+            "requests_completed": m["requests_completed"],
+            "active_slots": act,
+            "max_slots": len(self.slots),
+            "queue_depth": self.admission.qsize(),
+            "decode_ticks": m["decode_ticks"],
+            "decode_tok_per_s": (m["tokens_generated"] / m["decode_s"]
+                                 if m["decode_s"] else 0.0),
+            "ttft_p50_ms": ttfts[len(ttfts) // 2] if ttfts else None,
+            "ttft_p95_ms": ttfts[int(len(ttfts) * 0.95)] if ttfts else None,
+        }

@@ -32,11 +32,14 @@ def sample_top_p(logits: jax.Array, key: jax.Array, temperature: float | jax.Arr
     """Nucleus sampling over (B, V) logits -> (B,) int32 token ids."""
     b, v = logits.shape
     logits = logits.astype(jnp.float32)
+    # scalar or per-slot (B,) hyperparameters both broadcast as (B, 1)
+    tp = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (b,))[:, None]
+    temp = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32), (b,))[:, None]
     # reference only scales when temperature < 1.0 (cpu.rs:170-172)
-    scale = jnp.where(temperature < 1.0, 1.0 / jnp.maximum(temperature, 1e-6), 1.0)
+    scale = jnp.where(temp < 1.0, 1.0 / jnp.maximum(temp, 1e-6), 1.0)
     probs = jax.nn.softmax(logits * scale, axis=-1)
 
-    cutoff = (1.0 - top_p) / (v - 1)
+    cutoff = (1.0 - tp) / (v - 1)
     sp = jnp.sort(probs, axis=-1)[:, ::-1]           # descending probs
     si = jnp.argsort(-probs, axis=-1)                # matching ids
     keep = sp > cutoff
@@ -44,7 +47,7 @@ def sample_top_p(logits: jax.Array, key: jax.Array, temperature: float | jax.Arr
     csum = jnp.cumsum(spk, axis=-1)
 
     # last_index: first prefix with csum > top_p, else the last kept entry
-    over = csum > top_p
+    over = csum > tp
     n_kept = jnp.maximum(jnp.sum(keep, axis=-1), 1)
     first_over = jnp.argmax(over, axis=-1)
     last_index = jnp.where(jnp.any(over, axis=-1), first_over, n_kept - 1)  # (B,)
@@ -66,3 +69,14 @@ def sample(logits: jax.Array, key: jax.Array, temperature: float,
     if temperature == 0.0:
         return sample_greedy(logits)
     return sample_top_p(logits, key, temperature, top_p)
+
+
+def sample_batched(logits: jax.Array, key: jax.Array, temperature: jax.Array,
+                   top_p: jax.Array) -> jax.Array:
+    """Per-slot sampling for the continuous-batching engine.
+
+    temperature/top_p are (B,) arrays; slots with temperature == 0 decode
+    greedily, the rest nucleus-sample — all inside one traced program.
+    """
+    nucleus = sample_top_p(logits, key, temperature, top_p)
+    return jnp.where(temperature == 0.0, sample_greedy(logits), nucleus)

@@ -1,0 +1,191 @@
+"""HTTP inference server — the framework's L6.
+
+Route parity with the reference server (server/src/main.rs:74-143):
+- GET  /       -> HTML chat page with an EventSource client
+- GET  /gen?prompt=...  -> SSE token stream (newlines escaped as \\n, like
+                           mod.rs:246), with keep-alive
+- POST /chat   -> echo stub (the reference's /chat is a stub too,
+                  server/src/main.rs:115-117)
+
+Additions over the reference (SURVEY §5 called these out as absent there):
+- GET /metrics -> JSON: tok/s, TTFT p50/p95, slot occupancy, queue depth
+- GET /healthz
+- graceful 503 when the admission queue is full (the reference's bounded(30)
+  channel just blocks)
+
+Run:  python -m rama_tpu.server.app -m model.bin -t tokenizer.bin \
+          [--address 0.0.0.0:3000] [--quant auto] [--batch 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import queue as queue_mod
+
+from aiohttp import web
+
+from rama_tpu.config import EngineConfig
+from rama_tpu.runtime.engine import Engine, Request
+
+HTML_PAGE = """<!DOCTYPE html>
+<html>
+<head><title>rama-tpu</title>
+<style>
+ body { font-family: monospace; margin: 2rem auto; max-width: 46rem; }
+ #out { white-space: pre-wrap; border: 1px solid #999; min-height: 8rem;
+        padding: 1rem; margin-top: 1rem; }
+ input { width: 80%; padding: .4rem; } button { padding: .4rem 1rem; }
+</style></head>
+<body>
+<h2>rama-tpu</h2>
+<form id="f"><input id="p" placeholder="prompt..." autofocus>
+<button>generate</button></form>
+<div id="out"></div>
+<script>
+const f = document.getElementById('f'), p = document.getElementById('p'),
+      out = document.getElementById('out');
+let es = null;
+f.addEventListener('submit', (e) => {
+  e.preventDefault();
+  if (es) es.close();
+  out.textContent = '';
+  es = new EventSource('/gen?prompt=' + encodeURIComponent(p.value));
+  es.onmessage = (m) => { out.textContent += m.data.replaceAll('\\\\n', '\\n'); };
+  es.onerror = () => es.close();
+});
+</script>
+</body></html>"""
+
+
+def build_app(engine: Engine, default_steps: int = 255) -> web.Application:
+    app = web.Application()
+    app["engine"] = engine
+
+    async def home(_req):
+        return web.Response(text=HTML_PAGE, content_type="text/html")
+
+    async def gen(request: web.Request):
+        prompt = request.query.get("prompt", "")
+        try:
+            steps = int(request.query.get("steps", default_steps))
+            temperature = float(request.query.get("temperature", 1.0))
+            top_p = float(request.query.get("topp", 0.9))
+        except ValueError as e:
+            return web.json_response({"error": f"bad parameter: {e}"}, status=400)
+        if steps < 1 or not (0.0 <= temperature <= 10.0) or not (0.0 < top_p <= 1.0):
+            return web.json_response(
+                {"error": "steps must be >=1, temperature in [0,10], topp in (0,1]"},
+                status=400)
+        echo = request.query.get("echo", "0") in ("1", "true")
+
+        req = Request(prompt=prompt, steps=steps, temperature=temperature,
+                      top_p=top_p, echo_prompt=echo)
+        try:
+            engine.submit(req, timeout=0.5)
+        except queue_mod.Full:
+            return web.json_response({"error": "server overloaded"}, status=503)
+
+        resp = web.StreamResponse(headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+            "Connection": "keep-alive",
+        })
+        await resp.prepare(request)
+        loop = asyncio.get_running_loop()
+        try:
+            while True:
+                # bridge the engine's thread-side queue into asyncio, with a
+                # keep-alive comment on idle (reference: .keep_alive(),
+                # server/src/main.rs:109-112)
+                try:
+                    tok = await asyncio.wait_for(
+                        loop.run_in_executor(None, req.queue.get, True, 15.0),
+                        timeout=20.0)
+                except (asyncio.TimeoutError, queue_mod.Empty):
+                    await resp.write(b": keep-alive\n\n")
+                    continue
+                if tok is None:
+                    break
+                data = tok.replace("\n", "\\n")
+                await resp.write(f"data: {data}\n\n".encode())
+        except (ConnectionResetError, asyncio.CancelledError):
+            req.cancelled = True  # engine frees the slot on its next tick
+            raise
+        await resp.write_eof()
+        return resp
+
+    async def chat(request: web.Request):
+        # parity: the reference /chat just echoes the body (main.rs:115-117)
+        body = await request.text()
+        return web.Response(text=body)
+
+    async def metrics(_req):
+        return web.json_response(engine.stats())
+
+    async def healthz(_req):
+        return web.json_response({"ok": True})
+
+    app.router.add_get("/", home)
+    app.router.add_get("/gen", gen)
+    app.router.add_post("/chat", chat)
+    app.router.add_get("/metrics", metrics)
+    app.router.add_get("/healthz", healthz)
+    return app
+
+
+def load_engine(model_path: str, tokenizer_path: str, quant: str = "auto",
+                dtype: str = "bfloat16", batch: int = 8,
+                max_seq_len: int | None = None) -> Engine:
+    import jax.numpy as jnp
+
+    from rama_tpu.checkpoint import (load_checkpoint, load_checkpoint_quantized,
+                                     peek_version)
+    from rama_tpu.models.llama import (load_params, load_params_quantized,
+                                       quantize_params)
+    from rama_tpu.tokenizer import Tokenizer
+
+    jdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    if quant == "auto" and peek_version(model_path) == 2:
+        qp = load_checkpoint_quantized(model_path)
+        cfg, params = qp.config, load_params_quantized(qp.config, qp, dtype=jdtype)
+    elif quant in ("int8", "int4"):
+        cfg, np_params = load_checkpoint(model_path)
+        params = quantize_params(cfg, np_params, bits=8 if quant == "int8" else 4,
+                                 dtype=jdtype)
+    else:
+        cfg, np_params = load_checkpoint(model_path)
+        params = load_params(cfg, np_params, dtype=jdtype)
+    tokenizer = Tokenizer.from_file(tokenizer_path, cfg.vocab_size)
+    ecfg = EngineConfig(model_path=model_path, tokenizer_path=tokenizer_path,
+                        max_batch_size=batch, max_seq_len=max_seq_len)
+    return Engine(cfg, params, tokenizer, ecfg)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="rama-tpu-server")
+    ap.add_argument("-m", "--model", required=True)
+    ap.add_argument("-t", "--tokenizer", required=True)
+    ap.add_argument("--address", default="0.0.0.0:3000")  # main.rs default
+    ap.add_argument("--quant", default="auto",
+                    choices=["auto", "none", "int8", "int4"])
+    ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=255)
+    ap.add_argument("--platform", default="auto", choices=["auto", "cpu", "tpu"])
+    args = ap.parse_args(argv)
+
+    from rama_tpu.utils.platform import force_platform
+
+    force_platform(args.platform)
+    engine = load_engine(args.model, args.tokenizer, args.quant, args.dtype,
+                         args.batch)
+    engine.start()
+    app = build_app(engine, default_steps=args.steps)
+    host, _, port = args.address.rpartition(":")
+    web.run_app(app, host=host or "0.0.0.0", port=int(port))
+
+
+if __name__ == "__main__":
+    main()
