@@ -67,8 +67,7 @@ def _kernel_tileable(w: QuantizedTensor) -> bool:
     if n % 128 != 0:
         return False
     if w.bits == 4:
-        # x_lo/x_hi blocks slice half-K lanes, so K/2 must tile to 128 lanes
-        return (k // 2) % 128 == 0 and (k // 2) % w.group_size == 0
+        return k % (2 * w.group_size) == 0  # whole packing blocks
     return k % max(w.group_size, 32) == 0
 
 
@@ -198,14 +197,17 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return out.reshape(xf.shape).astype(x.dtype)
 
 
-def _attention(q, k_cache, v_cache, pos_mask, cfg: ModelConfig):
+def _attention(q, k_cache, v_cache, pos_mask):
     """Grouped-query attention over the cached sequence.
 
     q: (B, T, n_heads, hd); caches: (B, S, n_kv, hd);
     pos_mask: (B, T, S) True where key position is visible.
+    Head counts come from the operand shapes, so the same code runs on the
+    full model and on a tensor-parallel shard (heads split over the mesh).
     """
     b, t, nh, hd = q.shape
-    nkv, rep = cfg.n_kv_heads, cfg.n_rep
+    nkv = k_cache.shape[2]
+    rep = nh // nkv
     qg = q.reshape(b, t, nkv, rep, hd)
     # scores fp32 for softmax stability (the reference softmaxes fp32 too)
     scores = jnp.einsum(
@@ -220,14 +222,22 @@ def _attention(q, k_cache, v_cache, pos_mask, cfg: ModelConfig):
     return out.reshape(b, t, nh * hd).astype(q.dtype)
 
 
-def _layer(x, lp, k_cache, v_cache, cos, sin, pos_index, pos_mask, cfg: ModelConfig):
+def _layer(x, lp, k_cache, v_cache, cos, sin, pos_index, pos_mask,
+           cfg: ModelConfig, tp_axis: str | None = None):
     """One transformer block over a (B, T) chunk against (B, S) caches.
 
     Returns (x_out, new_k_cache, new_v_cache). Cache write happens at
     positions `pos_index` (B, T) via a scatter, supporting ragged decode.
+
+    Under tensor parallelism (inside shard_map with `tp_axis` set), wq/wk/wv/
+    w1/w3 are column-sharded and wo/w2 row-sharded (Megatron layout): x stays
+    replicated, the two psums after attention-out and FFN-down restore the
+    full residual — the only collectives per layer, riding ICI.
     """
     b, t, _ = x.shape
-    hd, nh, nkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
+    hd = cfg.head_dim
+    nh = (lp["wq"].shape[-1]) // hd    # local head count under TP
+    nkv = (lp["wk"].shape[-1]) // hd
 
     xb = rmsnorm(x, lp["attn_norm"], cfg.norm_eps)
     q = _linear(xb, lp["wq"]).reshape(b, t, nh, hd)
@@ -241,13 +251,19 @@ def _layer(x, lp, k_cache, v_cache, cos, sin, pos_index, pos_mask, cfg: ModelCon
     k_cache = k_cache.at[batch_idx, pos_index].set(k.astype(k_cache.dtype))
     v_cache = v_cache.at[batch_idx, pos_index].set(v.astype(v_cache.dtype))
 
-    att = _attention(q, k_cache, v_cache, pos_mask, cfg)
-    x = x + _linear(att, lp["wo"])
+    att = _attention(q, k_cache, v_cache, pos_mask)
+    attn_out = _linear(att, lp["wo"])
+    if tp_axis is not None:
+        attn_out = jax.lax.psum(attn_out, tp_axis)
+    x = x + attn_out
 
     xb = rmsnorm(x, lp["ffn_norm"], cfg.norm_eps)
     h1 = _linear(xb, lp["w1"])
     h3 = _linear(xb, lp["w3"])
-    x = x + _linear(jax.nn.silu(h1) * h3, lp["w2"])
+    ffn_out = _linear(jax.nn.silu(h1) * h3, lp["w2"])
+    if tp_axis is not None:
+        ffn_out = jax.lax.psum(ffn_out, tp_axis)
+    x = x + ffn_out
     return x, k_cache, v_cache
 
 
@@ -255,12 +271,15 @@ _LAYER_KEYS = ("attn_norm", "wq", "wk", "wv", "wo", "ffn_norm", "w1", "w2", "w3"
 
 
 def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
-            pos_index: jax.Array, cache: KVCache):
+            pos_index: jax.Array, cache: KVCache, tp_axis: str | None = None):
     """Forward a (B, T) token chunk at per-slot positions (B, T).
 
     Causal over the cache: position s of slot b is visible to query t iff
     s <= pos_index[b, t]. Returns (logits (B, T, V) fp32, new KVCache).
     Used with T=prompt_len for prefill and T=1 for decode.
+
+    With `tp_axis` set (inside shard_map), params/cache are the local TP
+    shards; the returned logits are the full vocab (all-gathered).
     """
     b, t = tokens.shape
     dtype = params["final_norm"].dtype
@@ -276,13 +295,18 @@ def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
 
     def body(x, xs):
         lp, k_c, v_c = xs
-        x, k_c, v_c = _layer(x, lp, k_c, v_c, cos, sin, pos_index, pos_mask, cfg)
+        x, k_c, v_c = _layer(x, lp, k_c, v_c, cos, sin, pos_index, pos_mask,
+                             cfg, tp_axis)
         return x, (k_c, v_c)
 
     x, (k_new, v_new) = jax.lax.scan(body, x, (layer_params, cache.k, cache.v))
 
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
     logits = _linear(x, params["wcls"]).astype(jnp.float32)
+    if tp_axis is not None:
+        # classifier is vocab-sharded; gather shards into the full vocab dim
+        logits = jax.lax.all_gather(logits, tp_axis, axis=logits.ndim - 1,
+                                    tiled=True)
     return logits, KVCache(k=k_new, v=v_new)
 
 

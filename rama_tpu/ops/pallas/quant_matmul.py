@@ -49,28 +49,26 @@ def _kernel_int8(x_ref, q_ref, s_ref, o_ref, acc_ref, *, gs: int, out_dtype):
         o_ref[...] = acc_ref[...].astype(out_dtype)
 
 
-def _kernel_int4(x_lo_ref, x_hi_ref, q_ref, s_lo_ref, s_hi_ref, o_ref, acc_ref,
-                 *, gs: int, out_dtype):
-    """Split-half int4: byte row r carries K-row r (low nibble) and r + K/2
-    (high nibble), so a packed tile expands to two clean half-K tiles — two
-    shifts + two MXU dots, no sublane interleave relayout."""
+def _kernel_int4(x_ref, q_ref, s_ref, o_ref, acc_ref, *, gs: int, out_dtype):
+    """Block-local packed int4: byte row j of block b carries logical rows
+    (2b*gs + j) [low nibble] and (2b*gs + gs + j) [high nibble]. Each nibble
+    plane is one scale group of its block, so dequant is a reshape-broadcast
+    and the expansion is a per-block concat — then a single MXU dot."""
     @pl.when(pl.program_id(2) == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     # Mosaic can't legalize shifts on int8 vectors; unpack in int32.
-    p32 = q_ref[...].astype(jnp.int32)               # (bk2, bn)
+    p32 = q_ref[...].astype(jnp.int32)               # (bk//2, bn)
     bk2, bn = p32.shape
-    lo = (p32 << 28) >> 28                           # sign-extended low nibble
-    hi = p32 >> 4                                    # int8 sign == high-nibble sign
-
-    def deq(w4, s):
-        return (w4.astype(jnp.float32).reshape(bk2 // gs, gs, bn)
-                * s[:, None, :]).reshape(bk2, bn).astype(jnp.bfloat16)
-
-    acc_ref[...] += jnp.dot(x_lo_ref[...].astype(jnp.bfloat16), deq(lo, s_lo_ref[...]),
-                            preferred_element_type=jnp.float32)
-    acc_ref[...] += jnp.dot(x_hi_ref[...].astype(jnp.bfloat16), deq(hi, s_hi_ref[...]),
+    nb = bk2 // gs
+    lo = ((p32 << 28) >> 28).astype(jnp.float32)     # sign-extended low nibble
+    hi = (p32 >> 4).astype(jnp.float32)              # int8 sign == nibble sign
+    w = jnp.concatenate(
+        [lo.reshape(nb, 1, gs, bn), hi.reshape(nb, 1, gs, bn)], axis=1)
+    scales = s_ref[...].reshape(nb, 2, 1, bn)        # (bk//gs, bn) regrouped
+    w = (w * scales).reshape(bk2 * 2, bn).astype(jnp.bfloat16)
+    acc_ref[...] += jnp.dot(x_ref[...].astype(jnp.bfloat16), w,
                             preferred_element_type=jnp.float32)
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
@@ -96,6 +94,14 @@ def _pick_k_block(k: int, target: int, gs: int) -> int:
     for the scales block — or the full K (always legal)."""
     cands = [d for d in range(gs, min(k, target) + 1, gs)
              if k % d == 0 and (d // gs) % 8 == 0 and d % 128 == 0]
+    return max(cands) if cands else k
+
+
+def _pick_k_block_int4(k: int, target: int, gs: int) -> int:
+    """int4 K tile: additionally whole 2*gs packing blocks and a byte-row
+    count (bk/2) on 8-sublane boundaries; full K is always legal."""
+    cands = [d for d in range(2 * gs, min(k, target) + 1, 2 * gs)
+             if k % d == 0 and (d // gs) % 8 == 0 and d % 256 == 0]
     return max(cands) if cands else k
 
 
@@ -145,25 +151,17 @@ def quant_matmul(x: jax.Array, qt: QuantizedTensor, *, block_m: int = 256,
             **common,
         )(x, qt.q, qt.scales)
     else:
-        # split-half packing: byte rows cover K/2; grid K-steps walk half-K
-        # tiles, each expanding to rows [off, off+bk2) and [K/2+off, ...).
-        # Scales are pre-split into lo/hi halves so each block spec is legal
-        # even when the half doesn't tile to 8 sublanes (full-array blocks).
-        kh = k // 2
-        bk2 = _pick_k_block(kh, max(bk // 2, 1), gs)
-        nk = kh // bk2
-        s_lo = qt.scales[: kh // gs]
-        s_hi = qt.scales[kh // gs :]
-        grid = (mp // bm, n // bn, nk)
+        # block-local packing: a K tile of bk logical rows is bk/2 packed
+        # byte rows and bk/gs scale rows, all block-aligned by construction.
+        bk = _pick_k_block_int4(k, block_k, gs)
+        grid = (mp // bm, n // bn, k // bk)
         out = pl.pallas_call(
             partial(_kernel_int4, gs=gs, out_dtype=x.dtype),
             grid=grid,
             in_specs=[
-                pl.BlockSpec((bm, bk2), lambda i, j, kk: (i, kk)),
-                pl.BlockSpec((bm, bk2), lambda i, j, kk, nk=nk: (i, kk + nk)),
-                pl.BlockSpec((bk2, bn), lambda i, j, kk: (kk, j)),
-                pl.BlockSpec((bk2 // gs, bn), lambda i, j, kk: (kk, j)),
-                pl.BlockSpec((bk2 // gs, bn), lambda i, j, kk: (kk, j)),
+                pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
+                pl.BlockSpec((bk // 2, bn), lambda i, j, kk: (kk, j)),
+                pl.BlockSpec((bk // gs, bn), lambda i, j, kk: (kk, j)),
             ],
             cost_estimate=pl.CostEstimate(
                 flops=2 * mp * k * n,
@@ -171,5 +169,5 @@ def quant_matmul(x: jax.Array, qt: QuantizedTensor, *, block_m: int = 256,
                 transcendentals=0,
             ),
             **common,
-        )(x, x, qt.q, s_lo, s_hi)
+        )(x, qt.q, qt.scales)
     return out[:m] if mp != m else out

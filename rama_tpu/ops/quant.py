@@ -9,11 +9,13 @@ weights are first-class.
 Layout contract (kernel-facing):
     q:      int8, (K, N)        — input-dim-major, output columns
     scales: fp32, (K//gs, N)    — one scale per (input-group, output column)
-INT4 packs two nibbles per byte in a *split-half* layout: q4[k, n] holds row
-k in the low nibble and row k + K/2 in the high nibble, values in [-7, 7]
-(scale = absmax/7). Split-half (not K-adjacent interleave) lets the Pallas
-kernel unpack with two shifts and run two MXU dots — no sublane interleave
-relayout, which costs ~50x on Mosaic.
+INT4 packs two nibbles per byte in a *block-local split* layout: within each
+block of 2*gs consecutive K rows, byte row j (j < gs) holds logical row
+block_start + j in the low nibble and block_start + gs + j in the high
+nibble, values in [-7, 7] (scale = absmax/7). Each byte row's two nibbles
+therefore belong to the block's two scale groups respectively, and any shard
+boundary at a multiple of 2*gs keeps blocks (and their scales) intact — which
+is what makes row-parallel (Megatron wo/w2) sharding of packed int4 exact.
 
 Why decode gets faster: single-token decode is HBM-bandwidth-bound — the
 whole win is reading 1 (or 0.5) bytes per weight instead of 2/4. The fused
@@ -75,40 +77,76 @@ def quantize_int8(w, group_size: int) -> QuantizedTensor:
     return QuantizedTensor(q=q, scales=scales[..., 0, :], group_size=group_size, bits=8)
 
 
+def pick_int4_group_size(k: int, group_size: int, max_tp: int = 8) -> int:
+    """Largest gs <= group_size with 2*gs dividing K/max_tp, so every TP shard
+    boundary (tp | max_tp) falls on a packing-block boundary."""
+    import math
+
+    base = k // (2 * max_tp) if k % (2 * max_tp) == 0 else k // 2
+    gs = math.gcd(group_size, base)
+    return max(gs, 1)
+
+
 def quantize_int4(w, group_size: int) -> QuantizedTensor:
-    """w: (.., K, N) float -> split-half packed int4 (see module docstring)."""
+    """w: (.., K, N) float -> block-local split packed int4 (module docstring).
+
+    group_size may be reduced (pick_int4_group_size) so packing blocks align
+    with row-parallel shard boundaries up to tp=8.
+    """
     xp = np if isinstance(w, np.ndarray) else jnp
     *lead, k, n = w.shape
+    group_size = pick_int4_group_size(k, group_size)
     wf = w.astype(xp.float32).reshape(*lead, k // group_size, group_size, n)
     absmax = xp.abs(wf).max(axis=-2, keepdims=True) if xp is np else jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
     scales = xp.maximum(absmax / 7.0, 1e-10)
     q = xp.clip(xp.round(wf / scales), -7, 7).astype(xp.int8)
-    q = q.reshape(*lead, k, n)
-    lo = q[..., : k // 2, :] & 0x0F
-    hi = (q[..., k // 2 :, :] & 0x0F) << 4
-    packed = (lo | hi).astype(xp.int8)
+    # (.., nb, 2, gs, n): axis -3 separates each block's lo/hi halves
+    qb = q.reshape(*lead, k // (2 * group_size), 2, group_size, n)
+    lo = qb[..., 0, :, :] & 0x0F
+    hi = (qb[..., 1, :, :] & 0x0F) << 4
+    packed = (lo | hi).astype(xp.int8).reshape(*lead, k // 2, n)
     scales = scales[..., 0, :]
     if xp is np:
         packed, scales = jnp.asarray(packed), jnp.asarray(scales.astype(np.float32))
     return QuantizedTensor(q=packed, scales=scales, group_size=group_size, bits=4)
 
 
-def _unpack_int4(packed: jax.Array) -> jax.Array:
-    """(.., K//2, N) packed -> (.., K, N) int8: rows [0,K/2) from low nibbles,
-    rows [K/2, K) from high nibbles (sign-extended)."""
+def _unpack_int4(packed: jax.Array, group_size: int) -> jax.Array:
+    """(.., K//2, N) block-local packed -> (.., K, N) int8 (sign-extended)."""
     p32 = packed.astype(jnp.int32)
     lo = ((p32 << 28) >> 28).astype(jnp.int8)
     hi = (p32 >> 4).astype(jnp.int8)  # int8 sign == high-nibble sign
-    return jnp.concatenate([lo, hi], axis=-2)
+    *lead, kh, n = packed.shape
+    nb = kh // group_size
+    lo = lo.reshape(*lead, nb, 1, group_size, n)
+    hi = hi.reshape(*lead, nb, 1, group_size, n)
+    out = jnp.concatenate([lo, hi], axis=-3)  # (.., nb, 2, gs, n)
+    return out.reshape(*lead, kh * 2, n)
 
 
 def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
-    q = _unpack_int4(qt.q) if qt.bits == 4 else qt.q
+    q = _unpack_int4(qt.q, qt.group_size) if qt.bits == 4 else qt.q
     *lead, k, n = q.shape
     gs = qt.group_size
     w = q.astype(jnp.float32).reshape(*lead, k // gs, gs, n)
     w = w * qt.scales[..., :, None, :]
     return w.reshape(*lead, k, n).astype(dtype)
+
+
+def split_groups(qt: QuantizedTensor, new_gs: int) -> QuantizedTensor:
+    """Exactly re-express Q8 with a finer group size (new_gs | group_size):
+    each scale is repeated over its sub-groups, so dequantization is
+    bit-identical. Used to align scale rows with TP shard boundaries.
+    (int4 packing is tied to its group size, so only int8 regroups.)"""
+    if qt.bits != 8:
+        raise ValueError("split_groups only supports int8 tensors")
+    if qt.group_size % new_gs != 0:
+        raise ValueError(f"{new_gs} does not divide group_size {qt.group_size}")
+    if new_gs == qt.group_size:
+        return qt
+    r = qt.group_size // new_gs
+    s = jnp.repeat(qt.scales, r, axis=-2)
+    return QuantizedTensor(q=qt.q, scales=s, group_size=new_gs, bits=8)
 
 
 def matmul_xla(x: jax.Array, qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:

@@ -1,0 +1,170 @@
+"""Tensor + data parallelism via shard_map over the ("data", "model") mesh.
+
+The Megatron-style layout for the Llama block, applied to dense *and*
+group-quantized weights (int8/int4 values and their scales shard together):
+
+    wq/wk/wv/w1/w3 : column-sharded  (L, K, N/tp)   -> no collective
+    wo/w2          : row-sharded     (L, K/tp, N)   -> psum after (in _layer)
+    wcls           : vocab-sharded   (D, V/tp)      -> all_gather logits
+    KV cache       : (L, B/dp, S, n_kv/tp, hd)      -> heads follow wk/wv
+    norms, rope, embedding : replicated
+
+Activations stay replicated across `model` (x is full-dim on every chip);
+batch shards across `data`. The only per-layer collectives are the two psums,
+riding ICI inside the compiled step — the scaling-book recipe, explicit here
+because the Pallas dequant kernels are opaque to GSPMD (shard_map hands them
+the local shard shapes directly).
+
+Constraints: tp must divide n_heads, n_kv_heads, hidden_dim and vocab_size;
+dp must divide the engine batch. (7B: 32 heads / v5e-8 tp=8 -> 4 heads/chip.)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from rama_tpu.config import ModelConfig
+from rama_tpu.models.llama import KVCache, forward
+from rama_tpu.ops.quant import QuantizedEmbedding, QuantizedTensor
+from rama_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from rama_tpu.runtime.sampler import sample_batched
+
+# column-sharded: output dim over the model axis
+_COL = ("wq", "wk", "wv", "w1", "w3")
+# row-sharded: input dim over the model axis (psum restores the sum)
+_ROW = ("wo", "w2")
+
+
+def _spec_for(name: str, leaf) -> P:
+    if name in _COL:
+        return P(None, None, MODEL_AXIS)
+    if name in _ROW:
+        return P(None, MODEL_AXIS, None)
+    if name == "wcls":
+        return P(None, MODEL_AXIS)
+    # norms, rope tables, embedding: replicated
+    return P(*([None] * leaf.ndim))
+
+
+def param_specs(params) -> dict:
+    """PartitionSpec pytree matching the params pytree (incl. quant leaves)."""
+    specs = {}
+    for name, p in params.items():
+        if isinstance(p, QuantizedTensor):
+            specs[name] = QuantizedTensor(
+                q=_spec_for(name, p.q), scales=_spec_for(name, p.scales),
+                group_size=p.group_size, bits=p.bits)
+        elif isinstance(p, QuantizedEmbedding):
+            specs[name] = QuantizedEmbedding(
+                q=P(None, None), scales=P(None, None), group_size=p.group_size)
+        else:
+            specs[name] = _spec_for(name, p)
+    return specs
+
+
+def cache_spec() -> KVCache:
+    s = P(None, DATA_AXIS, None, MODEL_AXIS, None)
+    return KVCache(k=s, v=s)
+
+
+def shard_params(params, mesh: Mesh):
+    """device_put the params pytree with the TP layout.
+
+    Row-sharded quantized weights need their scale rows to split evenly at
+    shard boundaries. INT8 tensors are exactly regrouped to a finer group
+    size when needed (split_groups — bit-identical); INT4 packing blocks are
+    chosen at quantize time to align for tp <= 8 (pick_int4_group_size).
+    """
+    import math
+
+    from rama_tpu.ops.quant import split_groups
+
+    tp = mesh.shape[MODEL_AXIS]
+    params = dict(params)
+    for name in _ROW:
+        p = params.get(name)
+        if isinstance(p, QuantizedTensor) and tp > 1:
+            k_local = p.k_dim // tp
+            if p.k_dim % tp:
+                raise ValueError(f"{name}: K={p.k_dim} not divisible by tp={tp}")
+            if k_local % p.group_size:
+                if p.bits == 4:
+                    raise ValueError(
+                        f"{name}: int4 packing blocks (2*{p.group_size}) do not "
+                        f"align with tp={tp} shards of K={p.k_dim}")
+                params[name] = split_groups(p, math.gcd(p.group_size, k_local))
+            elif p.bits == 4 and k_local % (2 * p.group_size):
+                raise ValueError(
+                    f"{name}: int4 shard K={k_local} not a multiple of the "
+                    f"2*gs={2 * p.group_size} packing block")
+    specs = param_specs(params)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+
+
+def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
+    spec = cache_spec()
+    return KVCache(
+        k=jax.device_put(cache.k, NamedSharding(mesh, spec.k)),
+        v=jax.device_put(cache.v, NamedSharding(mesh, spec.v)))
+
+
+def make_decode_step(cfg: ModelConfig, mesh: Mesh, params_example):
+    """Build the jitted TP+DP batched decode step (with in-graph sampling).
+
+    Returns step(params, tokens (B,), pos (B,), temps, top_ps, key, cache)
+    -> (next_tokens (B,), full logits (B, V), cache).
+    """
+    pspecs = param_specs(params_example)
+    cspec = cache_spec()
+
+    def inner(params, tokens, pos, cache):
+        logits, cache = forward(params, cfg, tokens[:, None], pos[:, None],
+                                cache, tp_axis=MODEL_AXIS)
+        return logits[:, 0], cache
+
+    mapped = jax.shard_map(
+        inner, mesh=mesh,
+        in_specs=(pspecs, P(DATA_AXIS), P(DATA_AXIS), cspec),
+        out_specs=(P(DATA_AXIS, None), cspec),
+        check_vma=False)
+
+    @partial(jax.jit, donate_argnames=("cache",))
+    def step(params, tokens, pos, temps, top_ps, key, cache):
+        logits, cache = mapped(params, tokens, pos, cache)
+        nxt = sample_batched(logits, key, temps, top_ps)
+        return nxt, logits, cache
+
+    return step
+
+
+def make_prefill(cfg: ModelConfig, mesh: Mesh, params_example):
+    """Build the jitted TP prefill over a (B, T) prompt chunk from pos 0.
+
+    Returns prefill(params, tokens (B, T), cache) -> (logits (B, T, V), cache).
+    The batch shards over `data`, so B must be a multiple of dp.
+    """
+    pspecs = param_specs(params_example)
+    cspec = cache_spec()
+
+    def inner(params, tokens, cache):
+        b, t = tokens.shape
+        pos = jnp.arange(t)[None, :].repeat(b, 0)
+        return forward(params, cfg, tokens, pos, cache, tp_axis=MODEL_AXIS)
+
+    mapped = jax.shard_map(
+        inner, mesh=mesh,
+        in_specs=(pspecs, P(DATA_AXIS, None), cspec),
+        out_specs=(P(DATA_AXIS, None, None), cspec),
+        check_vma=False)
+
+    @partial(jax.jit, donate_argnames=("cache",))
+    def prefill(params, tokens, cache):
+        return mapped(params, tokens, cache)
+
+    return prefill

@@ -38,10 +38,16 @@ def test_int4_roundtrip(wx):
 
 
 def test_int4_pack_unpack_exact():
-    w = jnp.asarray(np.arange(-7, 8, dtype=np.float32).repeat(16)[:224].reshape(14, 16))
-    qt = quantize_int4(w, 14)
+    # integer values in [-7,7] with absmax 7 in every group quantize exactly;
+    # period-15 pattern guarantees a -7 in every 16-row group
+    k, n = 256, 16
+    vals = (np.arange(k) % 15 - 7).astype(np.float32)
+    w = jnp.asarray(np.tile(vals[:, None], (1, n)))
+    qt = quantize_int4(w, 16)
+    assert qt.group_size == 16  # large enough K that the gs is not reduced
+    assert qt.q.shape == (k // 2, n)
     deq = dequantize(qt, jnp.float32)
-    np.testing.assert_allclose(np.asarray(deq), np.asarray(w), atol=1e-2)
+    np.testing.assert_allclose(np.asarray(deq), np.asarray(w), atol=1e-6)
 
 
 def test_matmul_xla_close_to_fp32(wx):

@@ -1,0 +1,101 @@
+"""Tensor/data-parallel decode on a virtual CPU mesh vs the single-device path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rama_tpu.models.llama import KVCache, decode_step, load_params, prefill, quantize_params
+from rama_tpu.parallel.mesh import make_mesh
+from rama_tpu.parallel.tp import (make_decode_step, make_prefill, shard_cache,
+                                  shard_params)
+from rama_tpu.runtime.sampler import sample_batched
+from rama_tpu.testing.ref_model import random_params, tiny_config
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()  # nh=4, nkv=2 -> tp in {1, 2}
+    np_params = random_params(cfg, seed=41)
+    params = load_params(cfg, np_params, dtype=jnp.float32)
+    return cfg, np_params, params
+
+
+def run_reference_chain(cfg, params, tokens_seq, batch):
+    cache = KVCache.create(cfg, batch=batch, dtype=jnp.float32)
+    logits = None
+    for pos, toks in enumerate(tokens_seq):
+        logits, cache = decode_step(params, cfg, jnp.asarray(toks, jnp.int32),
+                                    jnp.full((batch,), pos, jnp.int32), cache)
+    return np.asarray(logits)
+
+
+@pytest.mark.parametrize("dp,tp", [(1, 2), (2, 2), (4, 2), (1, 1)])
+def test_tp_decode_matches_single_device(setup, dp, tp):
+    cfg, np_params, params = setup
+    batch = max(dp, 2)
+    mesh = make_mesh(tp_size=tp, dp_size=dp, devices=jax.devices()[: dp * tp])
+
+    sparams = shard_params(params, mesh)
+    cache = shard_cache(KVCache.create(cfg, batch=batch, dtype=jnp.float32), mesh)
+    step = make_decode_step(cfg, mesh, sparams)
+
+    tokens_seq = [[1] * batch, [5] * batch, [9] * batch]
+    want = run_reference_chain(cfg, params, tokens_seq, batch)
+
+    key = jax.random.PRNGKey(0)
+    temps = jnp.zeros(batch)
+    tps = jnp.full(batch, 0.9)
+    for pos, toks in enumerate(tokens_seq):
+        nxt, logits, cache = step(sparams, jnp.asarray(toks, jnp.int32),
+                                  jnp.full((batch,), pos, jnp.int32),
+                                  temps, tps, key, cache)
+    np.testing.assert_allclose(np.asarray(logits), want, rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(nxt), np.argmax(want, -1))
+
+
+def test_tp_prefill_matches_single_device(setup):
+    cfg, np_params, params = setup
+    mesh = make_mesh(tp_size=2, dp_size=2, devices=jax.devices()[:4])
+    sparams = shard_params(params, mesh)
+
+    tokens = jnp.asarray(np.random.default_rng(0).integers(3, 100, (2, 6)), jnp.int32)
+    cache0 = KVCache.create(cfg, batch=2, dtype=jnp.float32)
+    want, _ = prefill(params, cfg, tokens, cache0)
+
+    cache = shard_cache(KVCache.create(cfg, batch=2, dtype=jnp.float32), mesh)
+    pf = make_prefill(cfg, mesh, sparams)
+    got, cache = pf(sparams, tokens, cache)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_tp_quantized_params(setup):
+    """Quantized weights shard and decode on the mesh (XLA dequant path on CPU)."""
+    cfg, np_params, _ = setup
+    mesh = make_mesh(tp_size=2, dp_size=1, devices=jax.devices()[:2])
+    qparams = quantize_params(cfg, np_params, bits=8, group_size=16,
+                              dtype=jnp.float32)
+    sq = shard_params(qparams, mesh)
+    step = make_decode_step(cfg, mesh, sq)
+    cache = shard_cache(KVCache.create(cfg, batch=2, dtype=jnp.float32), mesh)
+
+    # single-device quantized reference
+    cache0 = KVCache.create(cfg, batch=2, dtype=jnp.float32)
+    want, _ = decode_step(qparams, cfg, jnp.asarray([1, 1], jnp.int32),
+                          jnp.zeros(2, jnp.int32), cache0)
+
+    nxt, logits, cache = step(sq, jnp.asarray([1, 1], jnp.int32),
+                              jnp.zeros(2, jnp.int32), jnp.zeros(2),
+                              jnp.full(2, 0.9), jax.random.PRNGKey(0), cache)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_mesh_shapes():
+    m = make_mesh(tp_size=4, devices=jax.devices()[:8])
+    assert m.devices.shape == (2, 4)
+    m = make_mesh(dp_size=8, devices=jax.devices()[:8])
+    assert m.devices.shape == (8, 1)
+    with pytest.raises(ValueError):
+        make_mesh(tp_size=3, dp_size=3, devices=jax.devices()[:8])
