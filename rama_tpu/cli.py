@@ -64,7 +64,8 @@ def cmd_generate(args) -> int:
     from rama_tpu.tokenizer import Tokenizer
 
     from rama_tpu.checkpoint import load_checkpoint_quantized, load_config, peek_version
-    from rama_tpu.models.llama import load_params_quantized, quantize_params
+    from rama_tpu.models.llama import (fuse_params, load_params_quantized,
+                                       quantize_params)
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     version = peek_version(args.model)
@@ -80,6 +81,7 @@ def cmd_generate(args) -> int:
     else:
         cfg, np_params = load_checkpoint(args.model)
         params = load_params(cfg, np_params, dtype=dtype)
+    params = fuse_params(params, cfg)
     tokenizer = Tokenizer.from_file(args.tokenizer, cfg.vocab_size)
 
     if args.warmup:

@@ -34,8 +34,9 @@ from rama_tpu.ops.quant import QuantizedEmbedding, QuantizedTensor
 from rama_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 from rama_tpu.runtime.sampler import sample_batched
 
-# column-sharded: output dim over the model axis
-_COL = ("wq", "wk", "wv", "w1", "w3")
+# column-sharded: output dim over the model axis (fused weights are laid out
+# per-shard by _concat_weights, so contiguous column shards stay correct)
+_COL = ("wq", "wk", "wv", "w1", "w3", "wqkv", "w13")
 # row-sharded: input dim over the model axis (psum restores the sum)
 _ROW = ("wo", "w2")
 

@@ -157,6 +157,9 @@ def load_engine(model_path: str, tokenizer_path: str, quant: str = "auto",
     else:
         cfg, np_params = load_checkpoint(model_path)
         params = load_params(cfg, np_params, dtype=jdtype)
+    from rama_tpu.models.llama import fuse_params
+
+    params = fuse_params(params, cfg)
     tokenizer = Tokenizer.from_file(tokenizer_path, cfg.vocab_size)
     ecfg = EngineConfig(model_path=model_path, tokenizer_path=tokenizer_path,
                         max_batch_size=batch, max_seq_len=max_seq_len)

@@ -106,3 +106,36 @@ def test_bf16_close_to_fp32(tiny_model):
     l16, _ = decode_step(p16, cfg, t, pos, c16)
     # logits of a random tiny model are O(1); bf16 keeps ~2 decimal digits
     np.testing.assert_allclose(np.asarray(l16), np.asarray(l32), atol=0.05)
+
+
+def test_fused_params_match_unfused(tiny_model):
+    from rama_tpu.models.llama import fuse_params
+
+    cfg, params = tiny_model
+    p = load_params(cfg, params, dtype=jnp.float32)
+    pf = fuse_params(p, cfg, tp_size=1)
+    assert "wqkv" in pf and "wq" not in pf
+    c1 = KVCache.create(cfg, batch=1, dtype=jnp.float32)
+    c2 = KVCache.create(cfg, batch=1, dtype=jnp.float32)
+    t = jnp.asarray([1], jnp.int32)
+    for pos in range(3):
+        pv = jnp.asarray([pos], jnp.int32)
+        l1, c1 = decode_step(p, cfg, t, pv, c1)
+        l2, c2 = decode_step(pf, cfg, t, pv, c2)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5, atol=1e-5)
+        t = jnp.asarray([int(np.argmax(np.asarray(l1)))], jnp.int32)
+
+
+def test_fused_quantized_match(tiny_model):
+    from rama_tpu.models.llama import fuse_params, quantize_params
+
+    cfg, params = tiny_model
+    p = quantize_params(cfg, params, bits=8, group_size=16, dtype=jnp.float32)
+    pf = fuse_params(p, cfg, tp_size=1)
+    c1 = KVCache.create(cfg, batch=1, dtype=jnp.float32)
+    c2 = KVCache.create(cfg, batch=1, dtype=jnp.float32)
+    t = jnp.asarray([1], jnp.int32)
+    pv = jnp.asarray([0], jnp.int32)
+    l1, _ = decode_step(p, cfg, t, pv, c1)
+    l2, _ = decode_step(pf, cfg, t, pv, c2)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5, atol=1e-5)
