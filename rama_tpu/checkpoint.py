@@ -213,12 +213,15 @@ _MATMUL_NAMES_V2 = ["tok_embedding", "wq", "wk", "wv", "wo", "w1", "w2", "w3"]
 
 
 def _to_canonical(name: str, arr: np.ndarray) -> np.ndarray:
-    """File layout (out,in) -> canonical (in,out); embeddings/norms unchanged."""
+    """File layout (out,in) -> canonical (in,out); embeddings/norms unchanged.
+
+    Uses the threaded C++ blocked transpose when built (native/rama_native.cpp)
+    — the dominant host cost when loading multi-GB checkpoints."""
     if name in ("tok_embedding", "attn_norm", "ffn_norm", "final_norm"):
         return arr
-    if arr.ndim == 3:  # (L, out, in) -> (L, in, out)
-        return np.ascontiguousarray(arr.transpose(0, 2, 1))
-    return np.ascontiguousarray(arr.T)  # wcls (V, D) -> (D, V)
+    from rama_tpu.native import transpose_batched
+
+    return transpose_batched(arr)
 
 
 def load_checkpoint(path: str, dtype=np.float32):

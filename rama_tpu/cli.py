@@ -25,8 +25,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("-t", "--tokenizer", required=True, help="path to tokenizer.bin")
     g.add_argument("-p", "--prompt", default="", help="prompt text")
     g.add_argument("-s", "--step", type=int, default=255, help="max steps")
-    g.add_argument("-r", "--topp", type=float, default=0.9, help="nucleus top-p")
-    g.add_argument("--temperature", type=float, default=1.0)
+    # short flags match the reference exactly: -r temperature, -l topp, -o
+    # mode (engine/src/main.rs:39-49; mode is plumbed-but-unused there too)
+    g.add_argument("-r", "--temperature", type=float, default=1.0)
+    g.add_argument("-l", "--topp", type=float, default=0.9, help="nucleus top-p")
+    g.add_argument("-o", "--mode", default="generate", choices=["generate", "chat"])
     g.add_argument("--seed", type=int, default=100)
     g.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     g.add_argument("--quant", default="auto",

@@ -28,6 +28,7 @@ class Tokenizer:
         self.vocab = vocab
         self.scores = scores
         self.max_token_length = max_token_length
+        self._native = None  # optional C++ encoder (rama_tpu.native)
         self.token_to_id = {}
         for i, tok in enumerate(vocab):
             # First occurrence wins, matching HashMap insert-then-overwrite in
@@ -35,7 +36,8 @@ class Tokenizer:
             self.token_to_id[tok] = i
 
     @classmethod
-    def from_file(cls, path: str | Path, vocab_size: int) -> "Tokenizer":
+    def from_file(cls, path: str | Path, vocab_size: int,
+                  use_native: bool = True) -> "Tokenizer":
         data = Path(path).read_bytes()
         (max_len,) = struct.unpack_from("<I", data, 0)
         off = 4
@@ -46,7 +48,16 @@ class Tokenizer:
             vocab.append(data[off : off + slen].decode("utf-8"))
             off += slen
             scores.append(score)
-        return cls(vocab, scores, max_len)
+        tok = cls(vocab, scores, max_len)
+        if use_native:
+            try:
+                from rama_tpu.native import NativeTokenizer, available
+
+                if available():
+                    tok._native = NativeTokenizer(path, vocab_size)
+            except Exception:
+                pass
+        return tok
 
     def encode(self, s: str, strict: bool = True) -> list[int]:
         """Greedy score-maximizing BPE (bpe.rs:50-96 semantics).
@@ -54,6 +65,8 @@ class Tokenizer:
         With strict=True, unknown characters raise KeyError (the reference
         panics, bpe.rs:55); strict=False skips them.
         """
+        if self._native is not None:
+            return self._native.encode(s, strict=strict)
         tokens: list[int] = []
         for ch in s.strip():
             if ch == "\n":
