@@ -47,11 +47,31 @@ def build_parser() -> argparse.ArgumentParser:
                         "run excludes jit compilation (the reference's CUDA "
                         "kernels NVRTC-compile at startup, outside its timer)")
 
-    e = sub.add_parser("export", help="convert checkpoints between versions")
-    e.add_argument("input")
+    e = sub.add_parser("export", help="convert checkpoints between formats")
+    e.add_argument("input", help=".bin file, HF model path, llama2.c .pt, or "
+                                 "Meta consolidated dir")
     e.add_argument("output")
     e.add_argument("--version", type=int, default=2, choices=[0, 1, 2])
     e.add_argument("--group-size", type=int, default=64)
+    e.add_argument("--source", default="auto",
+                   choices=["auto", "bin", "hf", "llama2c", "meta"],
+                   help="input format (auto sniffs: .bin header magic/shape, "
+                        ".pt -> llama2c, dir with params.json -> meta, "
+                        "dir with config.json -> hf)")
+
+    v = sub.add_parser("eval", help="perplexity over a text file (e.g. "
+                                    "wikitext-2 test split for the INT8/INT4 "
+                                    "quality gates)")
+    v.add_argument("-m", "--model", required=True)
+    v.add_argument("-t", "--tokenizer", required=True)
+    v.add_argument("--text", required=True, help="path to plain-text file")
+    v.add_argument("--quant", default="auto",
+                   choices=["auto", "none", "int8", "int4"])
+    v.add_argument("--dtype", default="float32", choices=["bfloat16", "float32"])
+    v.add_argument("--window", type=int, default=512)
+    v.add_argument("--batch", type=int, default=4)
+    v.add_argument("--max-tokens", type=int, default=None)
+    v.add_argument("--platform", default="auto", choices=["auto", "cpu", "tpu"])
     return ap
 
 
@@ -105,10 +125,36 @@ def cmd_generate(args) -> int:
     return 0
 
 
+def _sniff_source(path: str) -> str:
+    import os
+
+    if os.path.isdir(path):
+        if os.path.exists(os.path.join(path, "params.json")):
+            return "meta"
+        return "hf"
+    if path.endswith((".pt", ".pth")):
+        return "llama2c"
+    return "bin"
+
+
 def cmd_export(args) -> int:
     from rama_tpu.checkpoint import load_checkpoint, save_v0, save_v1, save_v2
 
-    cfg, params = load_checkpoint(args.input)
+    source = args.source if args.source != "auto" else _sniff_source(args.input)
+    if source == "bin":
+        cfg, params = load_checkpoint(args.input)
+    elif source == "hf":
+        from rama_tpu.export import hf_to_params
+
+        cfg, params = hf_to_params(args.input)
+    elif source == "llama2c":
+        from rama_tpu.export import llama2c_pt_to_params
+
+        cfg, params = llama2c_pt_to_params(args.input)
+    else:
+        from rama_tpu.export import meta_to_params
+
+        cfg, params = meta_to_params(args.input)
     if args.version == 0:
         save_v0(args.output, cfg, params)
     elif args.version == 1:
@@ -120,12 +166,58 @@ def cmd_export(args) -> int:
     return 0
 
 
+def _load_model(args):
+    """Shared model-loading path for generate/eval (quant + dtype + fusion)."""
+    import jax.numpy as jnp
+
+    from rama_tpu.checkpoint import (load_checkpoint, load_checkpoint_quantized,
+                                     peek_version)
+    from rama_tpu.models.llama import (load_params, load_params_quantized,
+                                       quantize_params)
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    version = peek_version(args.model)
+    if args.quant == "auto" and version == 2:
+        qp = load_checkpoint_quantized(args.model)
+        return qp.config, load_params_quantized(qp.config, qp, dtype=dtype), dtype
+    if args.quant in ("int8", "int4"):
+        cfg, np_params = load_checkpoint(args.model)
+        return cfg, quantize_params(cfg, np_params,
+                                    bits=8 if args.quant == "int8" else 4,
+                                    dtype=dtype), dtype
+    cfg, np_params = load_checkpoint(args.model)
+    return cfg, load_params(cfg, np_params, dtype=dtype), dtype
+
+
+def cmd_eval(args) -> int:
+    import json
+
+    from rama_tpu.utils.platform import force_platform
+
+    force_platform(args.platform)
+    from rama_tpu.eval import perplexity
+    from rama_tpu.models.llama import fuse_params
+    from rama_tpu.tokenizer import Tokenizer
+
+    cfg, params, _ = _load_model(args)
+    params = fuse_params(params, cfg)
+    tokenizer = Tokenizer.from_file(args.tokenizer, cfg.vocab_size)
+    with open(args.text) as f:
+        text = f.read()
+    result = perplexity(params, cfg, tokenizer, text, window=args.window,
+                        batch=args.batch, max_tokens=args.max_tokens)
+    print(json.dumps(result))
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.cmd == "generate":
         return cmd_generate(args)
     if args.cmd == "export":
         return cmd_export(args)
+    if args.cmd == "eval":
+        return cmd_eval(args)
     return 1
 
 

@@ -1,0 +1,73 @@
+"""Perplexity harness vs a direct numpy teacher-forced computation."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rama_tpu.eval import perplexity
+from rama_tpu.models.llama import load_params, quantize_params
+from rama_tpu.testing.ref_model import RefModel, random_params, tiny_config
+from rama_tpu.tokenizer import BOS_ID, Tokenizer
+
+
+def make_tokenizer(vocab_size):
+    vocab = ["<unk>", "<s>", "</s>"] + [chr(ord("a") + i % 26) + ("" if i < 26 else str(i))
+                                        for i in range(vocab_size - 3)]
+    return Tokenizer(vocab, [0.0] * vocab_size, 4)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config(seq_len=48)
+    np_params = random_params(cfg, seed=51)
+    params = load_params(cfg, np_params, dtype=jnp.float32)
+    tok = make_tokenizer(cfg.vocab_size)
+    return cfg, np_params, params, tok
+
+
+def ref_nll(cfg, np_params, ids):
+    ref = RefModel(cfg, np_params)
+    total, n = 0.0, 0
+    for pos in range(len(ids) - 1):
+        logits = ref.step(ids[pos], pos)
+        logp = logits - (np.log(np.sum(np.exp(logits - logits.max()))) + logits.max())
+        total += logp[ids[pos + 1]]
+        n += 1
+    return -total / n
+
+
+def test_ppl_matches_reference(setup):
+    cfg, np_params, params, tok = setup
+    text = "abcab cabca bcabc"
+    res = perplexity(params, cfg, tok, text, window=8, batch=2)
+    ids = [BOS_ID] + tok.encode(text, strict=False)
+    # windows reset the cache, so compare against per-window scoring
+    total, n = 0.0, 0
+    for s in range(0, len(ids) - 1, 8):
+        w = ids[s : s + 9]
+        if len(w) < 2:
+            break
+        ref = RefModel(cfg, np_params)
+        for pos in range(len(w) - 1):
+            logits = ref.step(w[pos], pos)
+            m = logits.max()
+            logp = logits - (np.log(np.sum(np.exp(logits - m))) + m)
+            total += logp[w[pos + 1]]
+            n += 1
+    want = float(np.exp(-total / n))
+    assert res["tokens"] == n
+    np.testing.assert_allclose(res["perplexity"], want, rtol=1e-3)
+
+
+def test_quantized_ppl_gate(setup):
+    """INT8 ppl within 1% of fp32 — the BASELINE gate machinery itself."""
+    cfg, np_params, params, tok = setup
+    text = "the cat sat on the mat and the dog ran away " * 4
+    fp = perplexity(params, cfg, tok, text, window=16)
+    q8 = quantize_params(cfg, np_params, bits=8, group_size=16, dtype=jnp.float32)
+    p8 = perplexity(q8, cfg, tok, text, window=16)
+    assert abs(p8["perplexity"] - fp["perplexity"]) / fp["perplexity"] < 0.01
+
+    q4 = quantize_params(cfg, np_params, bits=4, group_size=16, dtype=jnp.float32)
+    p4 = perplexity(q4, cfg, tok, text, window=16)
+    assert abs(p4["perplexity"] - fp["perplexity"]) / fp["perplexity"] < 0.03
