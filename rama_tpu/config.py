@@ -77,7 +77,9 @@ class EngineConfig:
     # unbatched generation per request; see SURVEY.md §5).
     max_batch_size: int = 8
     max_seq_len: int | None = None  # None -> model seq_len
+    paged_kv: bool = False          # page-pool cache instead of dense slots
     kv_page_size: int = 128
+    kv_num_pages: int | None = None  # None -> worst case (batch * pages/slot)
 
     # Compute knobs.
     dtype: str = "bfloat16"  # activation / weight compute dtype

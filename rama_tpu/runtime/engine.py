@@ -87,6 +87,17 @@ def _decode_tick(params, cfg: ModelConfig, tokens, pos, temps, top_ps, key,
     return nxt, cache
 
 
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def _decode_tick_paged(params, cfg: ModelConfig, tokens, pos, temps, top_ps,
+                       key, cache, page_tables):
+    from rama_tpu.runtime.paged import _decode_step_paged_impl
+
+    logits, cache = _decode_step_paged_impl(params, cfg, tokens, pos, cache,
+                                            page_tables)
+    nxt = sample_batched(logits, key, temps, top_ps)
+    return nxt, cache
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def _prefill(params, cfg: ModelConfig, tokens_padded, true_len, temp, top_p, key):
     """Prefill one prompt (padded to a bucket) in a scratch cache.
@@ -125,7 +136,19 @@ class Engine:
         self.ecfg = engine_config or EngineConfig()
         b = self.ecfg.max_batch_size
         self.max_len = min(self.ecfg.max_seq_len or cfg.seq_len, cfg.seq_len)
-        self.cache = KVCache.create(cfg, batch=b, max_len=self.max_len)
+        self.paged = self.ecfg.paged_kv
+        if self.paged:
+            from rama_tpu.native import PageAllocator
+            from rama_tpu.runtime.paged import PagedKVCache
+
+            ps = self.ecfg.kv_page_size
+            self.pages_per_slot = -(-self.max_len // ps)
+            num_pages = self.ecfg.kv_num_pages or b * self.pages_per_slot
+            self.allocator = PageAllocator(num_pages, ps, b)
+            self.cache = PagedKVCache.create(cfg, num_pages, ps)
+            self.page_tables = np.zeros((b, self.pages_per_slot), np.int32)
+        else:
+            self.cache = KVCache.create(cfg, batch=b, max_len=self.max_len)
         self.slots = [_Slot() for _ in range(b)]
         # bounded admission queue — reference uses bounded(30), main.rs:68
         self.admission: "queue.Queue[Request]" = queue.Queue(maxsize=30)
@@ -190,8 +213,20 @@ class Engine:
             jnp.float32(req.temperature), jnp.float32(req.top_p), sub)
         # pad strip may exceed cache length for long prompts; crop
         t_ins = min(t_pad, self.max_len)
-        self.cache = _insert(cfg, self.cache, k_new[:, :t_ins], v_new[:, :t_ins],
-                             jnp.int32(slot_idx))
+        if self.paged:
+            from rama_tpu.runtime.paged import insert_prefill_paged
+
+            if self.allocator.reserve(slot_idx, t_ins) < 0:
+                req.queue.put(None)  # out of KV pages: reject
+                return
+            table = self.allocator.table(slot_idx)
+            self.page_tables[slot_idx, : len(table)] = table
+            self.cache = insert_prefill_paged(
+                cfg, self.cache, k_new[:, :t_ins], v_new[:, :t_ins],
+                jnp.asarray(self.page_tables[slot_idx]))
+        else:
+            self.cache = _insert(cfg, self.cache, k_new[:, :t_ins],
+                                 v_new[:, :t_ins], jnp.int32(slot_idx))
         slot.request = req
         slot.pos = len(ids)            # next decode position
         slot.generated = 0
@@ -224,6 +259,8 @@ class Engine:
     def _finish(self, slot: _Slot):
         slot.request.queue.put(None)  # end-of-stream sentinel
         slot.request = None
+        if self.paged:
+            self.allocator.release(self.slots.index(slot))
         self.metrics["requests_completed"] += 1
 
     def _loop(self):
@@ -250,9 +287,25 @@ class Engine:
                 tps[i] = s.request.top_p
             self.key, sub = jax.random.split(self.key)
             t0 = time.time()
-            nxt, self.cache = _decode_tick(
-                self.params, cfg, jnp.asarray(tokens), jnp.asarray(pos),
-                jnp.asarray(temps), jnp.asarray(tps), sub, self.cache)
+            if self.paged:
+                # grow page tables for slots whose next position crosses a
+                # page boundary; a failed reserve finishes that request
+                for i, s in enumerate(self.slots):
+                    if s.free:
+                        continue
+                    if self.allocator.reserve(i, int(pos[i]) + 1) < 0:
+                        self._finish(s)
+                        continue
+                    table = self.allocator.table(i)
+                    self.page_tables[i, : len(table)] = table
+                nxt, self.cache = _decode_tick_paged(
+                    self.params, cfg, jnp.asarray(tokens), jnp.asarray(pos),
+                    jnp.asarray(temps), jnp.asarray(tps), sub, self.cache,
+                    jnp.asarray(self.page_tables))
+            else:
+                nxt, self.cache = _decode_tick(
+                    self.params, cfg, jnp.asarray(tokens), jnp.asarray(pos),
+                    jnp.asarray(temps), jnp.asarray(tps), sub, self.cache)
             nxt = np.asarray(nxt)
             self.metrics["decode_ticks"] += 1
             self.metrics["decode_s"] += time.time() - t0

@@ -137,7 +137,8 @@ def build_app(engine: Engine, default_steps: int = 255) -> web.Application:
 
 def load_engine(model_path: str, tokenizer_path: str, quant: str = "auto",
                 dtype: str = "bfloat16", batch: int = 8,
-                max_seq_len: int | None = None) -> Engine:
+                max_seq_len: int | None = None, paged: bool = False,
+                page_size: int = 128) -> Engine:
     import jax.numpy as jnp
 
     from rama_tpu.checkpoint import (load_checkpoint, load_checkpoint_quantized,
@@ -162,7 +163,8 @@ def load_engine(model_path: str, tokenizer_path: str, quant: str = "auto",
     params = fuse_params(params, cfg)
     tokenizer = Tokenizer.from_file(tokenizer_path, cfg.vocab_size)
     ecfg = EngineConfig(model_path=model_path, tokenizer_path=tokenizer_path,
-                        max_batch_size=batch, max_seq_len=max_seq_len)
+                        max_batch_size=batch, max_seq_len=max_seq_len,
+                        paged_kv=paged, kv_page_size=page_size)
     return Engine(cfg, params, tokenizer, ecfg)
 
 
@@ -176,6 +178,9 @@ def main(argv=None):
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=255)
+    ap.add_argument("--paged", action="store_true",
+                    help="paged KV cache (page-pool memory, vLLM-style)")
+    ap.add_argument("--page-size", type=int, default=128)
     ap.add_argument("--platform", default="auto", choices=["auto", "cpu", "tpu"])
     args = ap.parse_args(argv)
 
@@ -183,7 +188,7 @@ def main(argv=None):
 
     force_platform(args.platform)
     engine = load_engine(args.model, args.tokenizer, args.quant, args.dtype,
-                         args.batch)
+                         args.batch, paged=args.paged, page_size=args.page_size)
     engine.start()
     app = build_app(engine, default_steps=args.steps)
     host, _, port = args.address.rpartition(":")

@@ -1,0 +1,117 @@
+"""Paged KV cache: equivalence with the dense path + engine integration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rama_tpu.config import EngineConfig
+from rama_tpu.models.llama import KVCache, decode_step, load_params
+from rama_tpu.runtime.paged import (PagedKVCache, decode_step_paged,
+                                    forward_paged, insert_prefill_paged)
+from rama_tpu.testing.ref_model import random_params, tiny_config
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config(seq_len=64)
+    np_params = random_params(cfg, seed=61)
+    params = load_params(cfg, np_params, dtype=jnp.float32)
+    return cfg, params
+
+
+def test_paged_decode_matches_dense(setup):
+    """Same token chain through dense and paged caches -> identical logits."""
+    cfg, params = setup
+    ps, b = 16, 2
+    dense = KVCache.create(cfg, batch=b, dtype=jnp.float32)
+    paged = PagedKVCache.create(cfg, num_pages=2 * (64 // ps), page_size=ps,
+                                dtype=jnp.float32)
+    # interleave the two slots' pages to prove non-contiguity works
+    tables = jnp.asarray([[0, 2, 4, 6], [1, 3, 5, 7]], jnp.int32)
+
+    toks = [[1, 1], [5, 9], [9, 3], [20, 7], [3, 2]]
+    for pos, tk in enumerate(toks):
+        token = jnp.asarray(tk, jnp.int32)
+        pvec = jnp.full((b,), pos, jnp.int32)
+        ld, dense = decode_step(params, cfg, token, pvec, dense)
+        lp, paged = decode_step_paged(params, cfg, token, pvec, paged, tables)
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(ld),
+                                   rtol=1e-5, atol=1e-5, err_msg=f"pos {pos}")
+
+
+def test_paged_prefill_insert_matches(setup):
+    cfg, params = setup
+    ps = 16
+    b_tokens = jnp.asarray([[1, 7, 21, 9, 3]], jnp.int32)
+    t = b_tokens.shape[1]
+
+    # dense reference prefill
+    from rama_tpu.models.llama import prefill
+    dense = KVCache.create(cfg, batch=1, dtype=jnp.float32)
+    logits_d, dense = prefill(params, cfg, b_tokens, dense)
+
+    # paged: prefill into scratch, insert strip into non-contiguous pages
+    paged = PagedKVCache.create(cfg, num_pages=4, page_size=ps, dtype=jnp.float32)
+    table = jnp.asarray([3, 1, 0, 2], jnp.int32)
+    paged = insert_prefill_paged(cfg, paged, dense.k[:, 0, :t], dense.v[:, 0, :t],
+                                 table)
+    # next decode step must agree
+    tok = jnp.asarray([4], jnp.int32)
+    pvec = jnp.asarray([t], jnp.int32)
+    ld, _ = decode_step(params, cfg, tok, pvec, dense)
+    lp, _ = decode_step_paged(params, cfg, tok, pvec, paged, table[None, :])
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(ld), rtol=1e-5, atol=1e-5)
+
+
+def test_paged_engine_end_to_end(setup):
+    """The engine in paged mode reproduces dense-mode outputs."""
+    import time
+
+    from rama_tpu.runtime.engine import Engine, Request
+    from tests.test_engine import collect, make_tokenizer
+
+    cfg, params = setup
+    tok = make_tokenizer(cfg.vocab_size)
+
+    outs = {}
+    for paged in (False, True):
+        ecfg = EngineConfig(max_batch_size=3, paged_kv=paged, kv_page_size=16)
+        eng = Engine(cfg, params, tok, ecfg)
+        eng.start()
+        try:
+            reqs = [Request(prompt=p, steps=6, temperature=0.0)
+                    for p in ("abc", "zq", "hello")]
+            for r in reqs:
+                eng.submit(r)
+            outs[paged] = [collect(r) for r in reqs]
+        finally:
+            eng.stop()
+    assert outs[False] == outs[True]
+
+
+def test_paged_page_exhaustion(setup):
+    """When the pool is too small, requests are rejected cleanly."""
+    from rama_tpu.runtime.engine import Engine, Request
+    from tests.test_engine import collect, make_tokenizer
+
+    cfg, params = setup
+    tok = make_tokenizer(cfg.vocab_size)
+    # one slot's worth of pages for a 2-slot engine
+    ecfg = EngineConfig(max_batch_size=2, paged_kv=True, kv_page_size=16,
+                        kv_num_pages=4)
+    eng = Engine(cfg, params, tok, ecfg)
+    eng.start()
+    try:
+        r1 = Request(prompt="abc", steps=40, temperature=0.0)
+        r2 = Request(prompt="zq", steps=4, temperature=0.0)
+        eng.submit(r1)
+        eng.submit(r2)
+        out1 = collect(r1)
+        out2 = collect(r2)
+        # r1 runs; r2 either completes after r1 frees pages or is rejected,
+        # but never hangs or crashes the engine
+        assert len(out1) >= 1
+        assert isinstance(out2, list)
+    finally:
+        eng.stop()
