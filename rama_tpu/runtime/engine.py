@@ -157,6 +157,9 @@ class Engine:
         self._thread: threading.Thread | None = None
         self._wake = threading.Event()
         # metrics
+        from rama_tpu.utils.profiling import PhaseTimer
+
+        self.phases = PhaseTimer()
         self.metrics = {
             "tokens_generated": 0,
             "requests_completed": 0,
@@ -208,9 +211,11 @@ class Engine:
         padded = np.zeros(t_pad, np.int32)
         padded[: len(ids)] = ids
         self.key, sub = jax.random.split(self.key)
-        first, k_new, v_new = _prefill(
-            self.params, cfg, jnp.asarray(padded), jnp.int32(len(ids)),
-            jnp.float32(req.temperature), jnp.float32(req.top_p), sub)
+        with self.phases.phase("prefill"):
+            first, k_new, v_new = _prefill(
+                self.params, cfg, jnp.asarray(padded), jnp.int32(len(ids)),
+                jnp.float32(req.temperature), jnp.float32(req.top_p), sub)
+            first = int(first)
         # pad strip may exceed cache length for long prompts; crop
         t_ins = min(t_pad, self.max_len)
         if self.paged:
@@ -333,4 +338,5 @@ class Engine:
                                  if m["decode_s"] else 0.0),
             "ttft_p50_ms": ttfts[len(ttfts) // 2] if ttfts else None,
             "ttft_p95_ms": ttfts[int(len(ttfts) * 0.95)] if ttfts else None,
+            "phases": self.phases.stats(),
         }
