@@ -60,6 +60,12 @@ def _linear(x: jax.Array, w) -> jax.Array:
     return x @ w
 
 
+def _decode_attn_supported(nh: int, nkv: int, hd: int, s: int) -> bool:
+    """Fused decode-attention kernel needs 128-lane head dim and 8-sublane
+    cache stripes; anything else falls back to the XLA einsum."""
+    return hd % 128 == 0 and s % 8 == 0 and nh % nkv == 0
+
+
 def _kernel_tileable(w: QuantizedTensor) -> bool:
     """The Pallas kernel needs 128-lane N tiles and whole scale groups per
     K tile; small-model shapes (e.g. stories15M dim=288) fall back to XLA."""
@@ -80,10 +86,12 @@ def _embed(tok_embedding, tokens: jax.Array, dtype) -> jax.Array:
 @jax.tree_util.register_dataclass
 @dataclass
 class KVCache:
-    """Dense per-layer KV cache: k/v are (L, B, S, n_kv_heads, head_dim).
+    """Dense per-layer KV cache: k/v are (L, B, n_kv_heads, S, head_dim).
 
     The functional replacement for the reference's per-request mutable
-    key_cache/value_cache buffers (state.rs:14-15, ram.rs:20-21).
+    key_cache/value_cache buffers (state.rs:14-15, ram.rs:20-21). Head-major
+    so each (slot, head) stripe (S, hd) is contiguous — the unit the fused
+    decode-attention kernel streams from HBM.
     """
 
     k: jax.Array
@@ -93,12 +101,12 @@ class KVCache:
     def create(cfg: ModelConfig, batch: int, max_len: int | None = None,
                dtype=jnp.bfloat16) -> "KVCache":
         s = max_len or cfg.seq_len
-        shape = (cfg.n_layers, batch, s, cfg.n_kv_heads, cfg.head_dim)
+        shape = (cfg.n_layers, batch, cfg.n_kv_heads, s, cfg.head_dim)
         return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
 
 def load_params(cfg: ModelConfig, np_params: dict, dtype=jnp.bfloat16) -> Params:
@@ -246,25 +254,30 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 
 def _attention(q, k_cache, v_cache, pos_mask):
-    """Grouped-query attention over the cached sequence.
+    """Grouped-query attention over the cached sequence (XLA path).
 
-    q: (B, T, n_heads, hd); caches: (B, S, n_kv, hd);
+    q: (B, T, n_heads, hd); caches: (B, n_kv, S, hd);
     pos_mask: (B, T, S) True where key position is visible.
     Head counts come from the operand shapes, so the same code runs on the
     full model and on a tensor-parallel shard (heads split over the mesh).
     """
     b, t, nh, hd = q.shape
-    nkv = k_cache.shape[2]
+    nkv = k_cache.shape[1]
     rep = nh // nkv
     qg = q.reshape(b, t, nkv, rep, hd)
+    if jax.default_backend() != "tpu" and k_cache.dtype == jnp.bfloat16:
+        # the CPU dot thunk lacks bf16xbf16->f32 for this layout
+        qg, k_cache, v_cache = (qg.astype(jnp.float32),
+                                k_cache.astype(jnp.float32),
+                                v_cache.astype(jnp.float32))
     # scores fp32 for softmax stability (the reference softmaxes fp32 too)
     scores = jnp.einsum(
-        "btkrh,bskh->btkrs", qg, k_cache, preferred_element_type=jnp.float32
+        "btkrh,bksh->btkrs", qg, k_cache, preferred_element_type=jnp.float32
     ) / np.sqrt(hd)
     scores = jnp.where(pos_mask[:, :, None, None, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
-        "btkrs,bskh->btkrh", probs.astype(v_cache.dtype), v_cache,
+        "btkrs,bksh->btkrh", probs.astype(v_cache.dtype), v_cache,
         preferred_element_type=jnp.float32,
     )
     return out.reshape(b, t, nh * hd).astype(q.dtype)
@@ -305,12 +318,21 @@ def _layer(x, lp, k_cache, v_cache, cos, sin, pos_index, pos_mask,
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
-    # scatter k,v into the caches at per-slot positions
-    batch_idx = jnp.arange(b)[:, None].repeat(t, 1)  # (B, T)
-    k_cache = k_cache.at[batch_idx, pos_index].set(k.astype(k_cache.dtype))
-    v_cache = v_cache.at[batch_idx, pos_index].set(v.astype(v_cache.dtype))
+    # scatter k,v into the (B, n_kv, S, hd) caches at per-slot positions
+    bi = jnp.arange(b)[:, None, None]                # (B, 1, 1)
+    hi = jnp.arange(nkv)[None, None, :]              # (1, 1, nkv)
+    pi = pos_index[:, :, None]                       # (B, T, 1)
+    k_cache = k_cache.at[bi, hi, pi].set(k.astype(k_cache.dtype))
+    v_cache = v_cache.at[bi, hi, pi].set(v.astype(v_cache.dtype))
 
-    att = _attention(q, k_cache, v_cache, pos_mask)
+    if t == 1 and jax.default_backend() == "tpu" and _decode_attn_supported(
+            nh, nkv, hd, k_cache.shape[2]):
+        from rama_tpu.ops.pallas.decode_attention import decode_attention
+
+        att = decode_attention(q[:, 0], k_cache, v_cache,
+                               pos_index[:, 0])[:, None, :]
+    else:
+        att = _attention(q, k_cache, v_cache, pos_mask)
     attn_out = _linear(att, lp["wo"])
     if tp_axis is not None:
         attn_out = jax.lax.psum(attn_out, tp_axis)
@@ -334,6 +356,90 @@ _LAYER_KEYS = ("attn_norm", "wq", "wk", "wv", "wqkv", "wo", "ffn_norm",
                "w1", "w2", "w3", "w13")
 
 
+def _forward_decode_fused(params: Params, cfg: ModelConfig, tokens: jax.Array,
+                          pos_index: jax.Array, cache: KVCache,
+                          tp_axis: str | None = None):
+    """Decode-step (T=1) forward with the fused attention kernel.
+
+    Differences from the generic path, both eliminating whole-cache copies
+    XLA otherwise materializes per layer (measured ~60% of step time at
+    batch 8): the cache is a scan *carry* written by a row scatter, and
+    attention reads the stacked cache in place via a layer-indexed Pallas
+    kernel instead of a sliced dense view.
+    """
+    from rama_tpu.ops.pallas.decode_attention import decode_attention_layer
+
+    b = tokens.shape[0]
+    dtype = params["final_norm"].dtype
+    x = _embed(params["tok_embedding"], tokens, dtype)          # (B, 1, D)
+    cos = jnp.take(params["rope_cos"], pos_index, axis=0)
+    sin = jnp.take(params["rope_sin"], pos_index, axis=0)
+    pos = pos_index[:, 0]                                        # (B,)
+    hd = cfg.head_dim
+
+    layer_params = {k: params[k] for k in _LAYER_KEYS if k in params}
+
+    def body(carry, xs):
+        x, k_c, v_c = carry
+        lp, l = xs
+        nkv_local = k_c.shape[2]
+
+        xb = rmsnorm(x, lp["attn_norm"], cfg.norm_eps)
+        if "wqkv" in lp:
+            heads_total = cfg.n_heads + 2 * cfg.n_kv_heads
+            heads_local = lp["wqkv"].shape[-1] // hd
+            nh = heads_local * cfg.n_heads // heads_total
+            nkv = heads_local * cfg.n_kv_heads // heads_total
+            qkv = _linear(xb, lp["wqkv"])
+            q = qkv[..., : nh * hd].reshape(b, 1, nh, hd)
+            k = qkv[..., nh * hd : (nh + nkv) * hd].reshape(b, 1, nkv, hd)
+            v = qkv[..., (nh + nkv) * hd :].reshape(b, 1, nkv, hd)
+        else:
+            nh = lp["wq"].shape[-1] // hd
+            nkv = lp["wk"].shape[-1] // hd
+            q = _linear(xb, lp["wq"]).reshape(b, 1, nh, hd)
+            k = _linear(xb, lp["wk"]).reshape(b, 1, nkv, hd)
+            v = _linear(xb, lp["wv"]).reshape(b, 1, nkv, hd)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        bi = jnp.arange(b)[:, None]
+        hi = jnp.arange(nkv_local)[None, :]
+        pi = pos[:, None]
+        k_c = k_c.at[l, bi, hi, pi].set(k[:, 0].astype(k_c.dtype))
+        v_c = v_c.at[l, bi, hi, pi].set(v[:, 0].astype(v_c.dtype))
+
+        att = decode_attention_layer(q[:, 0], k_c, v_c, pos, l)
+        attn_out = _linear(att, lp["wo"])
+        if tp_axis is not None:
+            attn_out = jax.lax.psum(attn_out, tp_axis)
+        x = x + attn_out[:, None]
+
+        xb = rmsnorm(x, lp["ffn_norm"], cfg.norm_eps)
+        if "w13" in lp:
+            h13 = _linear(xb, lp["w13"])
+            h1, h3 = jnp.split(h13, 2, axis=-1)
+        else:
+            h1 = _linear(xb, lp["w1"])
+            h3 = _linear(xb, lp["w3"])
+        ffn_out = _linear(jax.nn.silu(h1) * h3, lp["w2"])
+        if tp_axis is not None:
+            ffn_out = jax.lax.psum(ffn_out, tp_axis)
+        x = x + ffn_out
+        return (x, k_c, v_c), None
+
+    (x, k_new, v_new), _ = jax.lax.scan(
+        body, (x, cache.k, cache.v),
+        (layer_params, jnp.arange(cfg.n_layers, dtype=jnp.int32)))
+
+    x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+    logits = _linear(x, params["wcls"]).astype(jnp.float32)
+    if tp_axis is not None:
+        logits = jax.lax.all_gather(logits, tp_axis, axis=logits.ndim - 1,
+                                    tiled=True)
+    return logits, KVCache(k=k_new, v=v_new)
+
+
 def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
             pos_index: jax.Array, cache: KVCache, tp_axis: str | None = None):
     """Forward a (B, T) token chunk at per-slot positions (B, T).
@@ -346,6 +452,11 @@ def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
     shards; the returned logits are the full vocab (all-gathered).
     """
     b, t = tokens.shape
+    if (t == 1 and jax.default_backend() == "tpu"
+            and _decode_attn_supported(cfg.n_heads, cfg.n_kv_heads,
+                                       cfg.head_dim, cache.max_len)):
+        return _forward_decode_fused(params, cfg, tokens, pos_index, cache,
+                                     tp_axis)
     dtype = params["final_norm"].dtype
     x = _embed(params["tok_embedding"], tokens, dtype)
 

@@ -1,0 +1,133 @@
+"""Fused batched decode attention over the KV cache (Pallas TPU).
+
+XLA's einsum path for decode attention materializes a per-layer dense view
+of the cache plus layout transposes — at batch 8 that's gigabytes of copies
+per step (measured: the b=8 decode step spent ~3x the weight-streaming time
+in attention copies). This kernel reads each (slot, kv-head) cache stripe
+(S, hd) straight from HBM into VMEM once, computes masked softmax(QK^T)V for
+that head group, and writes (rep, hd) — no dense-view copy, no transposes.
+
+Grid: (B, n_kv_heads); per program:
+    q    (rep, hd)   — the GQA query group for this kv head
+    k, v (S, hd)     — the cache stripe
+    pos  scalar      — this slot's current position (mask: s <= pos)
+Cost per program: 2*S*hd reads; compute is tiny (decode is bandwidth-bound).
+
+Used for T=1 decode steps; prefill keeps the XLA einsum (it's MXU-bound and
+fuses well there).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref):
+    q = q_ref[0, 0]                   # (rep, hd)
+    k = k_ref[0, 0]                   # (S, hd)
+    v = v_ref[0, 0]
+    s, hd = k.shape
+    pos = pos_ref[pl.program_id(0)]
+
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) / np.sqrt(hd)      # (rep, S)
+    visible = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1) <= pos
+    scores = jnp.where(visible, scores, -1e30)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                    # (rep, hd)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def decode_attention_layer(q: jax.Array, k_full: jax.Array, v_full: jax.Array,
+                           pos: jax.Array, layer: jax.Array,
+                           interpret: bool = False) -> jax.Array:
+    """Like decode_attention, but reads layer `layer` of the full stacked
+    cache (L, B, nkv, S, hd) directly — no per-layer slice materialization.
+    Called inside the layer scan with a traced layer index."""
+    b, nh, hd = q.shape
+    nkv, s = k_full.shape[2], k_full.shape[3]
+    rep = nh // nkv
+    qg = q.reshape(b, nkv, rep, hd)
+    scalars = jnp.concatenate([pos.astype(jnp.int32),
+                               layer.reshape(1).astype(jnp.int32)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, rep, hd), lambda i, j, sc: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, s, hd), lambda i, j, sc: (sc[sc.shape[0] - 1], i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, s, hd), lambda i, j, sc: (sc[sc.shape[0] - 1], i, j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, rep, hd), lambda i, j, sc: (i, j, 0, 0)),
+    )
+    out = pl.pallas_call(
+        partial(_kernel_layered),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nkv, rep, hd), q.dtype),
+        interpret=interpret,
+    )(scalars, qg, k_full, v_full)
+    return out.reshape(b, nh * hd)
+
+
+def _kernel_layered(sc_ref, q_ref, k_ref, v_ref, o_ref):
+    q = q_ref[0, 0]                   # (rep, hd)
+    k = k_ref[0, 0, 0]                # (S, hd)
+    v = v_ref[0, 0, 0]
+    s, hd = k.shape
+    pos = sc_ref[pl.program_id(0)]
+
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) / np.sqrt(hd)
+    visible = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1) <= pos
+    scores = jnp.where(visible, scores, -1e30)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
+                     pos: jax.Array, *, interpret: bool = False) -> jax.Array:
+    """q (B, nh, hd); caches (B, nkv, S, hd); pos (B,) int32.
+
+    Returns (B, nh*hd) — softmax(QK^T/sqrt(hd)) V per head, causal to pos[b].
+    """
+    b, nh, hd = q.shape
+    nkv, s = k_cache.shape[1], k_cache.shape[2]
+    rep = nh // nkv
+    qg = q.reshape(b, nkv, rep, hd)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, rep, hd), lambda i, j, pos_ref: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, s, hd), lambda i, j, pos_ref: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, s, hd), lambda i, j, pos_ref: (i, j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, rep, hd), lambda i, j, pos_ref: (i, j, 0, 0)),
+    )
+    out = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nkv, rep, hd), q.dtype),
+        interpret=interpret,
+    )(pos, qg, k_cache, v_cache)
+    return out.reshape(b, nh * hd)

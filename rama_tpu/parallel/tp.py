@@ -69,7 +69,8 @@ def param_specs(params) -> dict:
 
 
 def cache_spec() -> KVCache:
-    s = P(None, DATA_AXIS, None, MODEL_AXIS, None)
+    # (L, B, n_kv, S, hd): batch over data, KV heads over model
+    s = P(None, DATA_AXIS, MODEL_AXIS, None, None)
     return KVCache(k=s, v=s)
 
 

@@ -117,7 +117,7 @@ def _prefill(params, cfg: ModelConfig, tokens_padded, true_len, temp, top_p, key
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
 def _insert(cfg: ModelConfig, cache: KVCache, k_new, v_new, slot):
-    """Copy a prefilled (L, T, kv, hd) K/V strip into slot `slot` at pos 0."""
+    """Copy a prefilled (L, kv, T, hd) K/V strip into slot `slot` at pos 0."""
     k = jax.lax.dynamic_update_slice(cache.k, k_new[:, None].astype(cache.k.dtype),
                                      (0, slot, 0, 0, 0))
     v = jax.lax.dynamic_update_slice(cache.v, v_new[:, None].astype(cache.v.dtype),
@@ -216,8 +216,9 @@ class Engine:
                 self.params, cfg, jnp.asarray(padded), jnp.int32(len(ids)),
                 jnp.float32(req.temperature), jnp.float32(req.top_p), sub)
             first = int(first)
-        # pad strip may exceed cache length for long prompts; crop
+        # pad strip may exceed cache length for long prompts; crop positions
         t_ins = min(t_pad, self.max_len)
+        k_new, v_new = k_new[:, :, :t_ins], v_new[:, :, :t_ins]
         if self.paged:
             from rama_tpu.runtime.paged import insert_prefill_paged
 
@@ -227,11 +228,11 @@ class Engine:
             table = self.allocator.table(slot_idx)
             self.page_tables[slot_idx, : len(table)] = table
             self.cache = insert_prefill_paged(
-                cfg, self.cache, k_new[:, :t_ins], v_new[:, :t_ins],
+                cfg, self.cache, k_new, v_new,
                 jnp.asarray(self.page_tables[slot_idx]))
         else:
-            self.cache = _insert(cfg, self.cache, k_new[:, :t_ins],
-                                 v_new[:, :t_ins], jnp.int32(slot_idx))
+            self.cache = _insert(cfg, self.cache, k_new, v_new,
+                                 jnp.int32(slot_idx))
         slot.request = req
         slot.pos = len(ids)            # next decode position
         slot.generated = 0

@@ -33,7 +33,7 @@ from rama_tpu.models.llama import (_LAYER_KEYS, KVCache, _embed, _layer,
 @jax.tree_util.register_dataclass
 @dataclass
 class PagedKVCache:
-    """k/v pools: (L, num_pages, page_size, n_kv_heads, head_dim)."""
+    """k/v pools: (L, num_pages, n_kv_heads, page_size, head_dim)."""
 
     k: jax.Array
     v: jax.Array
@@ -41,12 +41,12 @@ class PagedKVCache:
     @staticmethod
     def create(cfg: ModelConfig, num_pages: int, page_size: int = 128,
                dtype=jnp.bfloat16) -> "PagedKVCache":
-        shape = (cfg.n_layers, num_pages, page_size, cfg.n_kv_heads, cfg.head_dim)
+        shape = (cfg.n_layers, num_pages, cfg.n_kv_heads, page_size, cfg.head_dim)
         return PagedKVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
     @property
     def page_size(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     @property
     def num_pages(self) -> int:
@@ -74,34 +74,33 @@ def forward_paged(params, cfg: ModelConfig, tokens: jax.Array,
     pos_mask = jnp.arange(s_max)[None, None, :] <= pos_index[:, :, None]
 
     tables = jnp.maximum(page_tables, 0)
-    # flat view indices: slot b position s lives at table[b, s//ps]*ps + s%ps
-    gather_idx = (tables[:, :, None] * ps
-                  + jnp.arange(ps)[None, None, :]).reshape(b, s_max)   # (B, S)
-    write_idx = (jnp.take_along_axis(tables, pos_index // ps, axis=1) * ps
-                 + pos_index % ps)                                     # (B, T)
+    write_page = jnp.take_along_axis(tables, pos_index // ps, axis=1)  # (B, T)
+    write_off = pos_index % ps
 
     layer_params = {k: params[k] for k in _LAYER_KEYS if k in params}
+    nkv = cfg.n_kv_heads
 
     def body(x, xs):
-        lp, k_pages, v_pages = xs
-        npg = k_pages.shape[0]
-        k_flat = k_pages.reshape(npg * ps, *k_pages.shape[2:])
-        v_flat = v_pages.reshape(npg * ps, *v_pages.shape[2:])
-        # gathered dense view for this layer only: (B, S, n_kv, hd)
-        k_view = jnp.take(k_flat, gather_idx, axis=0)
-        v_view = jnp.take(v_flat, gather_idx, axis=0)
+        lp, k_pages, v_pages = xs                    # (P, nkv, ps, hd)
+        # gathered head-major dense view for this layer: (B, nkv, S, hd)
+        def view(pages):
+            g = jnp.take(pages, tables, axis=0)      # (B, npages, nkv, ps, hd)
+            return g.transpose(0, 2, 1, 3, 4).reshape(b, nkv, s_max, -1)
 
-        # run the standard layer against the view, with the cache write
-        # redirected into the flat pool afterwards
+        k_view, v_view = view(k_pages), view(v_pages)
         x, k_view2, v_view2 = _layer(x, lp, k_view, v_view, cos, sin,
                                      pos_index, pos_mask, cfg)
         # extract the newly written rows and scatter them into the pool
-        bt = jnp.arange(b)[:, None].repeat(t, 1)
-        k_new = k_view2[bt, pos_index]          # (B, T, n_kv, hd)
-        v_new = v_view2[bt, pos_index]
-        k_flat = k_flat.at[write_idx].set(k_new.astype(k_flat.dtype))
-        v_flat = v_flat.at[write_idx].set(v_new.astype(v_flat.dtype))
-        return x, (k_flat.reshape(k_pages.shape), v_flat.reshape(v_pages.shape))
+        bi = jnp.arange(b)[:, None, None]
+        hi = jnp.arange(nkv)[None, None, :]
+        pi = pos_index[:, :, None]
+        k_new = k_view2[bi, hi, pi]                  # (B, T, nkv, hd)
+        v_new = v_view2[bi, hi, pi]
+        pg = write_page[:, :, None]                  # (B, T, 1)
+        off = write_off[:, :, None]
+        k_pages = k_pages.at[pg, hi, off].set(k_new.astype(k_pages.dtype))
+        v_pages = v_pages.at[pg, hi, off].set(v_new.astype(v_pages.dtype))
+        return x, (k_pages, v_pages)
 
     x, (k_new, v_new) = jax.lax.scan(body, x, (layer_params, cache.k, cache.v))
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
@@ -124,18 +123,20 @@ decode_step_paged = partial(jax.jit, static_argnames=("cfg",),
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
 def insert_prefill_paged(cfg: ModelConfig, cache: PagedKVCache, k_strip,
                          v_strip, page_table_row: jax.Array):
-    """Write a prefilled (L, T, n_kv, hd) strip into one slot's pages.
+    """Write a prefilled (L, n_kv, T, hd) strip into one slot's pages.
 
-    T must be <= the slot's reserved pages * page_size; positions map to
-    page_table_row[i // ps] * ps + i % ps.
+    T must be <= the slot's reserved pages * page_size; position i maps to
+    (page_table_row[i // ps], i % ps).
     """
-    l, t_len, nkv, hd = k_strip.shape
+    l, nkv, t_len, hd = k_strip.shape
     ps = cache.page_size
-    idx = (jnp.take(jnp.maximum(page_table_row, 0),
-                    jnp.arange(t_len) // ps) * ps + jnp.arange(t_len) % ps)
-    k_flat = cache.k.reshape(l, cache.num_pages * ps, nkv, hd)
-    v_flat = cache.v.reshape(l, cache.num_pages * ps, nkv, hd)
-    k_flat = k_flat.at[:, idx].set(k_strip.astype(k_flat.dtype))
-    v_flat = v_flat.at[:, idx].set(v_strip.astype(v_flat.dtype))
-    return PagedKVCache(k=k_flat.reshape(cache.k.shape),
-                        v=v_flat.reshape(cache.v.shape))
+    pos = jnp.arange(t_len)
+    pg = jnp.take(jnp.maximum(page_table_row, 0), pos // ps)[:, None]  # (T, 1)
+    off = (pos % ps)[:, None]
+    hi = jnp.arange(nkv)[None, :]                                      # (1, nkv)
+    # cache[l, pg, h, off] = strip[l, h, t]  -> value layout (L, T, nkv, hd)
+    val_k = k_strip.transpose(0, 2, 1, 3).astype(cache.k.dtype)
+    val_v = v_strip.transpose(0, 2, 1, 3).astype(cache.v.dtype)
+    k = cache.k.at[:, pg, hi, off].set(val_k)
+    v = cache.v.at[:, pg, hi, off].set(val_v)
+    return PagedKVCache(k=k, v=v)

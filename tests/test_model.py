@@ -91,7 +91,7 @@ def test_gqa_differs_from_broken_dense(tiny_model):
     cfg, params = tiny_model
     assert cfg.n_kv_heads < cfg.n_heads
     cache = KVCache.create(cfg, batch=1, dtype=jnp.float32)
-    assert cache.k.shape[3] == cfg.n_kv_heads
+    assert cache.k.shape[2] == cfg.n_kv_heads
 
 
 def test_bf16_close_to_fp32(tiny_model):

@@ -54,7 +54,7 @@ def test_paged_prefill_insert_matches(setup):
     # paged: prefill into scratch, insert strip into non-contiguous pages
     paged = PagedKVCache.create(cfg, num_pages=4, page_size=ps, dtype=jnp.float32)
     table = jnp.asarray([3, 1, 0, 2], jnp.int32)
-    paged = insert_prefill_paged(cfg, paged, dense.k[:, 0, :t], dense.v[:, 0, :t],
+    paged = insert_prefill_paged(cfg, paged, dense.k[:, 0, :, :t], dense.v[:, 0, :, :t],
                                  table)
     # next decode step must agree
     tok = jnp.asarray([4], jnp.int32)
