@@ -270,57 +270,72 @@ class Engine:
         self.metrics["requests_completed"] += 1
 
     def _loop(self):
+        # The reference unwrap()s everywhere (SURVEY §5 "failure detection:
+        # none"); here a device-loop error fails the in-flight requests and
+        # the loop keeps serving.
+        while not self._stop.is_set():
+            try:
+                self._loop_once()
+            except Exception:  # noqa: BLE001 — engine thread must survive
+                import traceback
+
+                traceback.print_exc()
+                self.metrics["engine_errors"] = self.metrics.get("engine_errors", 0) + 1
+                for s in self.slots:
+                    if not s.free:
+                        self._finish(s)
+
+    def _loop_once(self):
         cfg = self.cfg
         b = len(self.slots)
-        while not self._stop.is_set():
-            self._admit()
-            active = [s for s in self.slots if not s.free]
-            if not active:
-                self._wake.wait(timeout=0.05)
-                self._wake.clear()
-                continue
+        self._admit()
+        active = [s for s in self.slots if not s.free]
+        if not active:
+            self._wake.wait(timeout=0.05)
+            self._wake.clear()
+            return
 
-            tokens = np.zeros(b, np.int32)
-            pos = np.zeros(b, np.int32)
-            temps = np.zeros(b, np.float32)
-            tps = np.full(b, 0.9, np.float32)
+        tokens = np.zeros(b, np.int32)
+        pos = np.zeros(b, np.int32)
+        temps = np.zeros(b, np.float32)
+        tps = np.full(b, 0.9, np.float32)
+        for i, s in enumerate(self.slots):
+            if s.free:
+                continue
+            tokens[i] = s.last_token
+            pos[i] = s.pos
+            temps[i] = s.request.temperature
+            tps[i] = s.request.top_p
+        self.key, sub = jax.random.split(self.key)
+        t0 = time.time()
+        if self.paged:
+            # grow page tables for slots whose next position crosses a
+            # page boundary; a failed reserve finishes that request
             for i, s in enumerate(self.slots):
                 if s.free:
                     continue
-                tokens[i] = s.last_token
-                pos[i] = s.pos
-                temps[i] = s.request.temperature
-                tps[i] = s.request.top_p
-            self.key, sub = jax.random.split(self.key)
-            t0 = time.time()
-            if self.paged:
-                # grow page tables for slots whose next position crosses a
-                # page boundary; a failed reserve finishes that request
-                for i, s in enumerate(self.slots):
-                    if s.free:
-                        continue
-                    if self.allocator.reserve(i, int(pos[i]) + 1) < 0:
-                        self._finish(s)
-                        continue
-                    table = self.allocator.table(i)
-                    self.page_tables[i, : len(table)] = table
-                nxt, self.cache = _decode_tick_paged(
-                    self.params, cfg, jnp.asarray(tokens), jnp.asarray(pos),
-                    jnp.asarray(temps), jnp.asarray(tps), sub, self.cache,
-                    jnp.asarray(self.page_tables))
-            else:
-                nxt, self.cache = _decode_tick(
-                    self.params, cfg, jnp.asarray(tokens), jnp.asarray(pos),
-                    jnp.asarray(temps), jnp.asarray(tps), sub, self.cache)
-            nxt = np.asarray(nxt)
-            self.metrics["decode_ticks"] += 1
-            self.metrics["decode_s"] += time.time() - t0
-            for i, s in enumerate(self.slots):
-                if s.free:
+                if self.allocator.reserve(i, int(pos[i]) + 1) < 0:
+                    self._finish(s)
                     continue
-                s.pos += 1
-                s.last_token = int(nxt[i])
-                self._emit(s, s.last_token)
+                table = self.allocator.table(i)
+                self.page_tables[i, : len(table)] = table
+            nxt, self.cache = _decode_tick_paged(
+                self.params, cfg, jnp.asarray(tokens), jnp.asarray(pos),
+                jnp.asarray(temps), jnp.asarray(tps), sub, self.cache,
+                jnp.asarray(self.page_tables))
+        else:
+            nxt, self.cache = _decode_tick(
+                self.params, cfg, jnp.asarray(tokens), jnp.asarray(pos),
+                jnp.asarray(temps), jnp.asarray(tps), sub, self.cache)
+        nxt = np.asarray(nxt)
+        self.metrics["decode_ticks"] += 1
+        self.metrics["decode_s"] += time.time() - t0
+        for i, s in enumerate(self.slots):
+            if s.free:
+                continue
+            s.pos += 1
+            s.last_token = int(nxt[i])
+            self._emit(s, s.last_token)
 
     # -- observability ------------------------------------------------------
 
