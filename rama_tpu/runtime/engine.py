@@ -50,6 +50,7 @@ class Request:
     echo_prompt: bool = False
     queue: "queue.Queue[Optional[str]]" = field(default_factory=lambda: queue.Queue())
     cancelled: bool = False  # set by the server on client disconnect
+    error: str | None = None  # set when the stream ended due to a failure
     submitted_at: float = field(default_factory=time.time)
     first_token_at: float | None = None
     tokens_out: int = 0
@@ -144,9 +145,14 @@ class Engine:
             ps = self.ecfg.kv_page_size
             self.pages_per_slot = -(-self.max_len // ps)
             num_pages = self.ecfg.kv_num_pages or b * self.pages_per_slot
+            # one extra "trash" page absorbs the unconditional KV writes of
+            # free slots, so stale page-table rows can never corrupt pages
+            # the allocator has handed to live requests
+            self.trash_page = num_pages
             self.allocator = PageAllocator(num_pages, ps, b)
-            self.cache = PagedKVCache.create(cfg, num_pages, ps)
-            self.page_tables = np.zeros((b, self.pages_per_slot), np.int32)
+            self.cache = PagedKVCache.create(cfg, num_pages + 1, ps)
+            self.page_tables = np.full((b, self.pages_per_slot),
+                                       self.trash_page, np.int32)
         else:
             self.cache = KVCache.create(cfg, batch=b, max_len=self.max_len)
         self.slots = [_Slot() for _ in range(b)]
@@ -163,6 +169,7 @@ class Engine:
         self.metrics = {
             "tokens_generated": 0,
             "requests_completed": 0,
+            "engine_errors": 0,
             "ttft_ms": [],          # recent TTFTs
             "decode_ticks": 0,
             "decode_s": 0.0,
@@ -202,7 +209,19 @@ class Engine:
                 req = self.admission.get_nowait()
             except queue.Empty:
                 return
-            self._start_request(i, slot, req)
+            try:
+                self._start_request(i, slot, req)
+            except Exception:  # noqa: BLE001 — a failed admit must not lose the client
+                import traceback
+
+                traceback.print_exc()
+                self.metrics["engine_errors"] += 1
+                if self.paged:
+                    self.allocator.release(i)
+                    self.page_tables[i, :] = self.trash_page
+                slot.request = None
+                req.error = "engine error during prefill"
+                req.queue.put(None)
 
     def _start_request(self, slot_idx: int, slot: _Slot, req: Request):
         cfg = self.cfg
@@ -266,13 +285,15 @@ class Engine:
         slot.request.queue.put(None)  # end-of-stream sentinel
         slot.request = None
         if self.paged:
-            self.allocator.release(self.slots.index(slot))
+            i = self.slots.index(slot)
+            self.allocator.release(i)
+            self.page_tables[i, :] = self.trash_page
         self.metrics["requests_completed"] += 1
 
     def _loop(self):
         # The reference unwrap()s everywhere (SURVEY §5 "failure detection:
-        # none"); here a device-loop error fails the in-flight requests and
-        # the loop keeps serving.
+        # none"); here a device-loop error fails the in-flight requests,
+        # rebuilds the (donated, possibly poisoned) cache, and keeps serving.
         while not self._stop.is_set():
             try:
                 self._loop_once()
@@ -280,10 +301,26 @@ class Engine:
                 import traceback
 
                 traceback.print_exc()
-                self.metrics["engine_errors"] = self.metrics.get("engine_errors", 0) + 1
+                self.metrics["engine_errors"] += 1
                 for s in self.slots:
                     if not s.free:
+                        s.request.error = "engine error during decode"
                         self._finish(s)
+                self._reset_cache()
+
+    def _reset_cache(self):
+        if self.paged:
+            from rama_tpu.runtime.paged import PagedKVCache
+
+            ps = self.ecfg.kv_page_size
+            self.cache = PagedKVCache.create(self.cfg, self.trash_page + 1, ps)
+            self.page_tables[:] = self.trash_page
+            from rama_tpu.native import PageAllocator
+
+            self.allocator = PageAllocator(self.trash_page, ps, len(self.slots))
+        else:
+            self.cache = KVCache.create(self.cfg, batch=len(self.slots),
+                                        max_len=self.max_len)
 
     def _loop_once(self):
         cfg = self.cfg
@@ -346,6 +383,7 @@ class Engine:
         return {
             "tokens_generated": m["tokens_generated"],
             "requests_completed": m["requests_completed"],
+            "engine_errors": m["engine_errors"],
             "active_slots": act,
             "max_slots": len(self.slots),
             "queue_depth": self.admission.qsize(),

@@ -107,6 +107,10 @@ def build_app(engine: Engine, default_steps: int = 255) -> web.Application:
                     await resp.write(b": keep-alive\n\n")
                     continue
                 if tok is None:
+                    if req.error:
+                        # distinguish engine failure from normal completion
+                        await resp.write(
+                            f"event: error\ndata: {req.error}\n\n".encode())
                     break
                 data = tok.replace("\n", "\\n")
                 await resp.write(f"data: {data}\n\n".encode())

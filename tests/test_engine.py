@@ -145,3 +145,38 @@ def test_stats_shape(engine_setup):
     s = eng.stats()
     assert s["max_slots"] == 4
     assert s["active_slots"] == 0
+
+
+def test_engine_recovers_from_device_error(engine_setup):
+    """A device-loop failure kills in-flight requests with error set, rebuilds
+    the cache, and the engine keeps serving new requests."""
+    cfg, np_params, params, tok, ecfg = engine_setup
+    eng = Engine(cfg, params, tok, ecfg)
+
+    original = eng._loop_once
+    state = {"bombs": 1}
+
+    def flaky():
+        if state["bombs"] and any(not s.free for s in eng.slots):
+            state["bombs"] -= 1
+            raise RuntimeError("injected device failure")
+        original()
+
+    eng._loop_once = flaky
+    eng.start()
+    try:
+        r1 = Request(prompt="abc", steps=8, temperature=0.0)
+        eng.submit(r1)
+        out1 = collect(r1)
+        assert r1.error is not None          # failed stream is marked
+        assert eng.stats()["engine_errors"] == 1
+
+        # engine must still serve correct results afterwards
+        r2 = Request(prompt="abc", steps=8, temperature=0.0)
+        eng.submit(r2)
+        out2 = collect(r2)
+        assert r2.error is None
+        want_ids = oracle_chain(cfg, np_params, tok.encode("abc"), 8)
+        assert out2 == [tok.decode_token(i) for i in want_ids]
+    finally:
+        eng.stop()

@@ -115,3 +115,37 @@ def test_paged_page_exhaustion(setup):
         assert isinstance(out2, list)
     finally:
         eng.stop()
+
+
+def test_paged_free_slot_writes_hit_trash_page(setup):
+    """Stale page tables of freed slots must never corrupt live requests:
+    a short request finishing early while a long one decodes leaves the
+    long one's output identical to a solo run."""
+    from rama_tpu.runtime.engine import Engine, Request
+    from tests.test_engine import collect, make_tokenizer
+
+    cfg, params = setup
+    tok = make_tokenizer(cfg.vocab_size)
+    ecfg = EngineConfig(max_batch_size=2, paged_kv=True, kv_page_size=16)
+
+    eng = Engine(cfg, params, tok, ecfg)
+    eng.start()
+    try:
+        solo = Request(prompt="abc", steps=20, temperature=0.0)
+        eng.submit(solo)
+        want = collect(solo)
+    finally:
+        eng.stop()
+
+    eng = Engine(cfg, params, tok, ecfg)
+    eng.start()
+    try:
+        long_req = Request(prompt="abc", steps=20, temperature=0.0)
+        short = Request(prompt="zq", steps=2, temperature=0.0)
+        eng.submit(long_req)
+        eng.submit(short)
+        collect(short)          # finishes early, frees its pages mid-decode
+        got = collect(long_req)
+        assert got == want
+    finally:
+        eng.stop()
