@@ -127,17 +127,46 @@ def _insert(cfg: ModelConfig, cache: KVCache, k_new, v_new, slot):
 
 
 class Engine:
-    """Owns the model, the slot pool, and the device loop thread."""
+    """Owns the model, the slot pool, and the device loop thread.
+
+    With EngineConfig.tp_size > 1 the engine runs tensor-parallel: params and
+    the KV cache are sharded over the ("data", "model") mesh and every tick
+    executes the shard_mapped decode step (BASELINE config #4: tensor-sharded
+    serving with continuous batching). Paged mode currently requires tp=1.
+    """
 
     def __init__(self, cfg: ModelConfig, params, tokenizer: Tokenizer,
                  engine_config: EngineConfig | None = None):
         self.cfg = cfg
-        self.params = params
         self.tokenizer = tokenizer
         self.ecfg = engine_config or EngineConfig()
         b = self.ecfg.max_batch_size
         self.max_len = min(self.ecfg.max_seq_len or cfg.seq_len, cfg.seq_len)
         self.paged = self.ecfg.paged_kv
+        self.tp = self.ecfg.tp_size
+        if self.tp > 1 and self.paged:
+            raise ValueError("paged KV cache with tensor parallelism is not "
+                             "supported yet; use dense slots (paged_kv=False)")
+        if "wqkv" in params:
+            if self.tp > 1:
+                # fused column layout is tp-specific; a tp=1 fusion sharded
+                # over tp>1 would split mid-projection
+                raise ValueError("pass unfused params to a tensor-parallel "
+                                 "Engine; it fuses with the right tp layout")
+        else:
+            from rama_tpu.models.llama import fuse_params
+
+            params = fuse_params(params, cfg, tp_size=self.tp)
+        if self.tp > 1:
+            from rama_tpu.parallel.mesh import make_mesh
+            from rama_tpu.parallel import tp as tp_mod
+
+            self.mesh = make_mesh(tp_size=self.tp, dp_size=1,
+                                  devices=jax.devices()[: self.tp])
+            params = tp_mod.shard_params(params, self.mesh)
+            self._tp_step = tp_mod.make_decode_step(cfg, self.mesh, params)
+            self._tp_prefill = tp_mod.make_prefill(cfg, self.mesh, params)
+        self.params = params
         if self.paged:
             from rama_tpu.native import PageAllocator
             from rama_tpu.runtime.paged import PagedKVCache
@@ -155,6 +184,10 @@ class Engine:
                                        self.trash_page, np.int32)
         else:
             self.cache = KVCache.create(cfg, batch=b, max_len=self.max_len)
+            if self.tp > 1:
+                from rama_tpu.parallel.tp import shard_cache
+
+                self.cache = shard_cache(self.cache, self.mesh)
         self.slots = [_Slot() for _ in range(b)]
         # bounded admission queue — reference uses bounded(30), main.rs:68
         self.admission: "queue.Queue[Request]" = queue.Queue(maxsize=30)
@@ -231,9 +264,12 @@ class Engine:
         padded[: len(ids)] = ids
         self.key, sub = jax.random.split(self.key)
         with self.phases.phase("prefill"):
-            first, k_new, v_new = _prefill(
-                self.params, cfg, jnp.asarray(padded), jnp.int32(len(ids)),
-                jnp.float32(req.temperature), jnp.float32(req.top_p), sub)
+            if self.tp > 1:
+                first, k_new, v_new = self._prefill_tp(padded, len(ids), req, sub)
+            else:
+                first, k_new, v_new = _prefill(
+                    self.params, cfg, jnp.asarray(padded), jnp.int32(len(ids)),
+                    jnp.float32(req.temperature), jnp.float32(req.top_p), sub)
             first = int(first)
         # pad strip may exceed cache length for long prompts; crop positions
         t_ins = min(t_pad, self.max_len)
@@ -262,6 +298,29 @@ class Engine:
             for t in req.prompt_ids:
                 req.queue.put(self.tokenizer.decode_token(t))
         self._emit(slot, int(first))
+
+    def _prefill_tp(self, padded, true_len, req: Request, key):
+        """Tensor-parallel prefill into a sharded scratch cache.
+
+        Padded positions write to the scratch's last row (masked), same
+        scheme as _prefill; the returned strip is the local-then-global
+        sharded (L, kv, T, hd) K/V for insertion into the main cache.
+        """
+        from rama_tpu.parallel.tp import shard_cache
+
+        t_pad = padded.shape[0]
+        scratch = shard_cache(
+            KVCache.create(self.cfg, batch=1, max_len=t_pad), self.mesh)
+        # Padding tokens write garbage K/V at positions >= true_len of the
+        # scratch — safe: prefill queries only attend s <= their own position
+        # (< true_len), and decode overwrites each position before its first
+        # read (same argument as _prefill's padded-row scheme).
+        logits, scratch = self._tp_prefill(self.params,
+                                           jnp.asarray(padded[None, :]), scratch)
+        last = logits[0, true_len - 1][None, :]
+        first = sample_batched(last, key, jnp.float32(req.temperature)[None],
+                               jnp.float32(req.top_p)[None])[0]
+        return first, scratch.k[:, 0], scratch.v[:, 0]
 
     def _emit(self, slot: _Slot, token: int):
         req = slot.request
@@ -321,6 +380,10 @@ class Engine:
         else:
             self.cache = KVCache.create(self.cfg, batch=len(self.slots),
                                         max_len=self.max_len)
+            if self.tp > 1:
+                from rama_tpu.parallel.tp import shard_cache
+
+                self.cache = shard_cache(self.cache, self.mesh)
 
     def _loop_once(self):
         cfg = self.cfg
@@ -360,6 +423,10 @@ class Engine:
                 self.params, cfg, jnp.asarray(tokens), jnp.asarray(pos),
                 jnp.asarray(temps), jnp.asarray(tps), sub, self.cache,
                 jnp.asarray(self.page_tables))
+        elif self.tp > 1:
+            nxt, _, self.cache = self._tp_step(
+                self.params, jnp.asarray(tokens), jnp.asarray(pos),
+                jnp.asarray(temps), jnp.asarray(tps), sub, self.cache)
         else:
             nxt, self.cache = _decode_tick(
                 self.params, cfg, jnp.asarray(tokens), jnp.asarray(pos),

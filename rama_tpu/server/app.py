@@ -142,7 +142,7 @@ def build_app(engine: Engine, default_steps: int = 255) -> web.Application:
 def load_engine(model_path: str, tokenizer_path: str, quant: str = "auto",
                 dtype: str = "bfloat16", batch: int = 8,
                 max_seq_len: int | None = None, paged: bool = False,
-                page_size: int = 128) -> Engine:
+                page_size: int = 128, tp: int = 1) -> Engine:
     import jax.numpy as jnp
 
     from rama_tpu.checkpoint import (load_checkpoint, load_checkpoint_quantized,
@@ -162,13 +162,11 @@ def load_engine(model_path: str, tokenizer_path: str, quant: str = "auto",
     else:
         cfg, np_params = load_checkpoint(model_path)
         params = load_params(cfg, np_params, dtype=jdtype)
-    from rama_tpu.models.llama import fuse_params
-
-    params = fuse_params(params, cfg)
+    # the Engine fuses QKV/W13 itself with the tp-aware column layout
     tokenizer = Tokenizer.from_file(tokenizer_path, cfg.vocab_size)
     ecfg = EngineConfig(model_path=model_path, tokenizer_path=tokenizer_path,
                         max_batch_size=batch, max_seq_len=max_seq_len,
-                        paged_kv=paged, kv_page_size=page_size)
+                        paged_kv=paged, kv_page_size=page_size, tp_size=tp)
     return Engine(cfg, params, tokenizer, ecfg)
 
 
@@ -185,6 +183,9 @@ def main(argv=None):
     ap.add_argument("--paged", action="store_true",
                     help="paged KV cache (page-pool memory, vLLM-style)")
     ap.add_argument("--page-size", type=int, default=128)
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel degree (weights + KV heads sharded "
+                         "over the first tp devices)")
     ap.add_argument("--platform", default="auto", choices=["auto", "cpu", "tpu"])
     args = ap.parse_args(argv)
 
@@ -192,7 +193,8 @@ def main(argv=None):
 
     force_platform(args.platform)
     engine = load_engine(args.model, args.tokenizer, args.quant, args.dtype,
-                         args.batch, paged=args.paged, page_size=args.page_size)
+                         args.batch, paged=args.paged, page_size=args.page_size,
+                         tp=args.tp)
     engine.start()
     app = build_app(engine, default_steps=args.steps)
     host, _, port = args.address.rpartition(":")

@@ -99,3 +99,29 @@ def test_mesh_shapes():
     assert m.devices.shape == (8, 1)
     with pytest.raises(ValueError):
         make_mesh(tp_size=3, dp_size=3, devices=jax.devices()[:8])
+
+
+def test_engine_tensor_parallel_matches_single(setup):
+    """The engine with tp=2 produces the same streams as tp=1 (BASELINE #4:
+    tensor-sharded continuous-batching serving)."""
+    from rama_tpu.config import EngineConfig
+    from rama_tpu.runtime.engine import Engine, Request
+    from tests.test_engine import collect, make_tokenizer
+
+    cfg, np_params, params = setup
+    tok = make_tokenizer(cfg.vocab_size)
+
+    outs = {}
+    for tp in (1, 2):
+        eng = Engine(cfg, params, tok,
+                     EngineConfig(max_batch_size=2, tp_size=tp))
+        eng.start()
+        try:
+            reqs = [Request(prompt=p, steps=6, temperature=0.0)
+                    for p in ("abc", "zq")]
+            for r in reqs:
+                eng.submit(r)
+            outs[tp] = [collect(r) for r in reqs]
+        finally:
+            eng.stop()
+    assert outs[1] == outs[2]
