@@ -60,6 +60,30 @@ def _linear(x: jax.Array, w) -> jax.Array:
     return x @ w
 
 
+def _linear_layered(x: jax.Array, w, l: jax.Array) -> jax.Array:
+    """x (..., K) @ w[l] for stacked per-layer weights (L, K, N).
+
+    Quantized weights on TPU go through quant_matmul_layered, whose block
+    index maps select the layer straight from HBM — avoiding the per-layer
+    weight copy an XLA dynamic-slice would materialize (profiled at >50% of
+    decode step time). Dense / CPU paths fall back to a gather.
+    """
+    if isinstance(w, QuantizedTensor):
+        *lead, k = x.shape
+        x2 = x.reshape(-1, k)
+        if jax.default_backend() == "tpu" and _kernel_tileable(w):
+            from rama_tpu.ops.pallas.quant_matmul import quant_matmul_layered
+
+            out = quant_matmul_layered(x2, w, l)
+        else:
+            wl = QuantizedTensor(q=jnp.take(w.q, l, axis=0),
+                                 scales=jnp.take(w.scales, l, axis=0),
+                                 group_size=w.group_size, bits=w.bits)
+            out = matmul_xla(x2, wl, dtype=x.dtype)
+        return out.reshape(*lead, w.shape[-1])
+    return x @ jnp.take(w, l, axis=0)
+
+
 def _decode_attn_supported(nh: int, nkv: int, hd: int, s: int) -> bool:
     """Fused decode-attention kernel needs 128-lane head dim and 8-sublane
     cache stripes; anything else falls back to the XLA einsum."""
@@ -376,30 +400,28 @@ def _forward_decode_fused(params: Params, cfg: ModelConfig, tokens: jax.Array,
     sin = jnp.take(params["rope_sin"], pos_index, axis=0)
     pos = pos_index[:, 0]                                        # (B,)
     hd = cfg.head_dim
+    fused = "wqkv" in params
 
-    layer_params = {k: params[k] for k in _LAYER_KEYS if k in params}
-
-    def body(carry, xs):
+    def body(carry, l):
         x, k_c, v_c = carry
-        lp, l = xs
         nkv_local = k_c.shape[2]
 
-        xb = rmsnorm(x, lp["attn_norm"], cfg.norm_eps)
-        if "wqkv" in lp:
+        xb = rmsnorm(x, jnp.take(params["attn_norm"], l, axis=0), cfg.norm_eps)
+        if fused:
             heads_total = cfg.n_heads + 2 * cfg.n_kv_heads
-            heads_local = lp["wqkv"].shape[-1] // hd
+            heads_local = params["wqkv"].shape[-1] // hd
             nh = heads_local * cfg.n_heads // heads_total
             nkv = heads_local * cfg.n_kv_heads // heads_total
-            qkv = _linear(xb, lp["wqkv"])
+            qkv = _linear_layered(xb, params["wqkv"], l)
             q = qkv[..., : nh * hd].reshape(b, 1, nh, hd)
             k = qkv[..., nh * hd : (nh + nkv) * hd].reshape(b, 1, nkv, hd)
             v = qkv[..., (nh + nkv) * hd :].reshape(b, 1, nkv, hd)
         else:
-            nh = lp["wq"].shape[-1] // hd
-            nkv = lp["wk"].shape[-1] // hd
-            q = _linear(xb, lp["wq"]).reshape(b, 1, nh, hd)
-            k = _linear(xb, lp["wk"]).reshape(b, 1, nkv, hd)
-            v = _linear(xb, lp["wv"]).reshape(b, 1, nkv, hd)
+            nh = params["wq"].shape[-1] // hd
+            nkv = params["wk"].shape[-1] // hd
+            q = _linear_layered(xb, params["wq"], l).reshape(b, 1, nh, hd)
+            k = _linear_layered(xb, params["wk"], l).reshape(b, 1, nkv, hd)
+            v = _linear_layered(xb, params["wv"], l).reshape(b, 1, nkv, hd)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -410,19 +432,19 @@ def _forward_decode_fused(params: Params, cfg: ModelConfig, tokens: jax.Array,
         v_c = v_c.at[l, bi, hi, pi].set(v[:, 0].astype(v_c.dtype))
 
         att = decode_attention_layer(q[:, 0], k_c, v_c, pos, l)
-        attn_out = _linear(att, lp["wo"])
+        attn_out = _linear_layered(att, params["wo"], l)
         if tp_axis is not None:
             attn_out = jax.lax.psum(attn_out, tp_axis)
         x = x + attn_out[:, None]
 
-        xb = rmsnorm(x, lp["ffn_norm"], cfg.norm_eps)
-        if "w13" in lp:
-            h13 = _linear(xb, lp["w13"])
+        xb = rmsnorm(x, jnp.take(params["ffn_norm"], l, axis=0), cfg.norm_eps)
+        if fused:
+            h13 = _linear_layered(xb, params["w13"], l)
             h1, h3 = jnp.split(h13, 2, axis=-1)
         else:
-            h1 = _linear(xb, lp["w1"])
-            h3 = _linear(xb, lp["w3"])
-        ffn_out = _linear(jax.nn.silu(h1) * h3, lp["w2"])
+            h1 = _linear_layered(xb, params["w1"], l)
+            h3 = _linear_layered(xb, params["w3"], l)
+        ffn_out = _linear_layered(jax.nn.silu(h1) * h3, params["w2"], l)
         if tp_axis is not None:
             ffn_out = jax.lax.psum(ffn_out, tp_axis)
         x = x + ffn_out
@@ -430,7 +452,7 @@ def _forward_decode_fused(params: Params, cfg: ModelConfig, tokens: jax.Array,
 
     (x, k_new, v_new), _ = jax.lax.scan(
         body, (x, cache.k, cache.v),
-        (layer_params, jnp.arange(cfg.n_layers, dtype=jnp.int32)))
+        jnp.arange(cfg.n_layers, dtype=jnp.int32))
 
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
     logits = _linear(x, params["wcls"]).astype(jnp.float32)

@@ -76,6 +76,96 @@ def _kernel_int4(x_ref, q_ref, s_ref, o_ref, acc_ref, *, gs: int, out_dtype):
         o_ref[...] = acc_ref[...].astype(out_dtype)
 
 
+def _kernel_int8_layered(l_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *,
+                         gs: int, out_dtype):
+    """int8 kernel over stacked (L, K, N) weights: the grid's index maps pick
+    layer l_ref[0] directly out of HBM, so the layer scan never materializes
+    a per-layer weight copy (profiled at >50% of decode step time)."""
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w8 = q_ref[0]                                    # (bk, bn) int8
+    bk, bn = w8.shape
+    scales = s_ref[0]                                # (bk//gs, bn) f32
+    w = (w8.astype(jnp.float32).reshape(bk // gs, gs, bn)
+         * scales[:, None, :]).reshape(bk, bn).astype(jnp.bfloat16)
+    acc_ref[...] += jnp.dot(x_ref[...].astype(jnp.bfloat16), w,
+                            preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+def _kernel_int4_layered(l_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *,
+                         gs: int, out_dtype):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    p32 = q_ref[0].astype(jnp.int32)                 # (bk//2, bn)
+    bk2, bn = p32.shape
+    nb = bk2 // gs
+    lo = ((p32 << 28) >> 28).astype(jnp.float32)
+    hi = (p32 >> 4).astype(jnp.float32)
+    w = jnp.concatenate(
+        [lo.reshape(nb, 1, gs, bn), hi.reshape(nb, 1, gs, bn)], axis=1)
+    scales = s_ref[0].reshape(nb, 2, 1, bn)
+    w = (w * scales).reshape(bk2 * 2, bn).astype(jnp.bfloat16)
+    acc_ref[...] += jnp.dot(x_ref[...].astype(jnp.bfloat16), w,
+                            preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+@partial(jax.jit, static_argnames=("block_m", "block_k", "block_n", "interpret"))
+def quant_matmul_layered(x: jax.Array, qt: QuantizedTensor, layer: jax.Array,
+                         *, block_m: int = 256, block_k: int = 1024,
+                         block_n: int = 512, interpret: bool = False) -> jax.Array:
+    """x (M, K) @ dequant(qt[layer]) for stacked qt (L, K, N) — the weight
+    layer is selected by the kernel's block index maps (scalar prefetch), not
+    by an XLA dynamic-slice copy."""
+    m, k = x.shape
+    kq, n = qt.shape[-2], qt.shape[-1]
+    assert k == kq, f"K mismatch: x {k} vs qt {kq}"
+    gs = qt.group_size
+
+    bk = (_pick_k_block(k, block_k, gs) if qt.bits == 8
+          else _pick_k_block_int4(k, block_k, gs))
+    bn = _pick_block(n, block_n, 128)
+    bm = min(m, block_m)
+    if m % bm:
+        x = jnp.pad(x, ((0, bm - m % bm), (0, 0)))
+    mp = x.shape[0]
+    k_pack = 2 if qt.bits == 4 else 1
+    kernel = _kernel_int4_layered if qt.bits == 4 else _kernel_int8_layered
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(mp // bm, n // bn, k // bk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk, l: (i, kk)),
+            pl.BlockSpec((1, bk // k_pack, bn), lambda i, j, kk, l: (l[0], kk, j)),
+            pl.BlockSpec((1, bk // gs, bn), lambda i, j, kk, l: (l[0], kk, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk, l: (i, j)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        partial(kernel, gs=gs, out_dtype=x.dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mp, n), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(layer.reshape(1).astype(jnp.int32), x, qt.q, qt.scales)
+    return out[:m] if mp != m else out
+
+
 def _pick_block(dim: int, target: int, multiple: int) -> int:
     """Largest divisor of `dim` that is <= target and a multiple of `multiple`;
     falls back to the full dim when no such divisor exists."""

@@ -60,7 +60,12 @@ def quantize_int8(w, group_size: int) -> QuantizedTensor:
 
     numpy inputs are quantized on the host (one device_put instead of a
     compiled program per tensor — load-time friendly on tunneled devices).
+    group_size is reduced per tensor when it doesn't divide K (e.g.
+    stories15M's dim 288 with the default 64 -> 32).
     """
+    import math
+
+    group_size = max(1, math.gcd(group_size, w.shape[-2]))
     if isinstance(w, np.ndarray):
         *lead, k, n = w.shape
         wf = w.astype(np.float32).reshape(*lead, k // group_size, group_size, n)
@@ -185,7 +190,10 @@ class QuantizedEmbedding:
 
 def quantize_embedding(w, group_size: int) -> QuantizedEmbedding:
     """w: (V, D) float -> per-row Q8_0 along D (host-side for numpy inputs)."""
+    import math
+
     v, d = w.shape
+    group_size = max(1, math.gcd(group_size, d))
     if isinstance(w, np.ndarray):
         wf = w.astype(np.float32).reshape(v, d // group_size, group_size)
         absmax = np.abs(wf).max(axis=-1, keepdims=True)

@@ -101,3 +101,25 @@ def test_quantized_tensor_is_pytree():
     assert len(leaves) == 2
     qt2 = jax.tree_util.tree_map(lambda x: x, qt)
     assert qt2.group_size == 32 and qt2.bits == 8
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_quant_matmul_layered_matches_per_layer(wx, bits):
+    from rama_tpu.ops.pallas.quant_matmul import quant_matmul_layered
+
+    w, x = wx
+    L = 3
+    rng = np.random.default_rng(7)
+    ws = jnp.asarray(rng.standard_normal((L, *w.shape)).astype(np.float32) * 0.1)
+    quant = quantize_int8 if bits == 8 else quantize_int4
+    qt = quant(ws, 64)
+    xb = x.astype(jnp.bfloat16)
+    for l in range(L):
+        single = QuantizedTensor(q=qt.q[l], scales=qt.scales[l],
+                                 group_size=qt.group_size, bits=bits)
+        want = matmul_xla(xb, single)
+        got = quant_matmul_layered(xb, qt, jnp.int32(l), block_m=8,
+                                   block_k=128, block_n=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32),
+                                   atol=0.1, rtol=0.1, err_msg=f"layer {l}")
