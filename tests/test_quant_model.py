@@ -81,3 +81,33 @@ def test_unshared_classifier_quantized(tmp_path):
     want = run_chain(cfg, pd, steps=3)
     for (tg, lg), (tw, lw) in zip(got, want):
         np.testing.assert_allclose(lg, lw, atol=2e-4, rtol=1e-3)
+
+
+def test_engine_serves_quantized_params(v2_setup):
+    """The continuous-batching engine runs on int8 params end to end and
+    matches the dequantized-fp32 engine's greedy streams."""
+    import jax.numpy as jnp
+
+    from rama_tpu import checkpoint as ckpt
+    from rama_tpu.config import EngineConfig
+    from rama_tpu.runtime.engine import Engine, Request
+    from tests.test_engine import collect, make_tokenizer
+
+    cfg, _, path = v2_setup
+    tok = make_tokenizer(cfg.vocab_size)
+    qp = ckpt.load_checkpoint_quantized(path)
+    pq = load_params_quantized(cfg, qp, dtype=jnp.float32)
+    _, deq = ckpt.load_checkpoint(path)
+    pd = load_params(cfg, deq, dtype=jnp.float32)
+
+    outs = {}
+    for name, params in (("quant", pq), ("dequant", pd)):
+        eng = Engine(cfg, params, tok, EngineConfig(max_batch_size=2))
+        eng.start()
+        try:
+            req = Request(prompt="ab", steps=6, temperature=0.0)
+            eng.submit(req)
+            outs[name] = collect(req)
+        finally:
+            eng.stop()
+    assert outs["quant"] == outs["dequant"]

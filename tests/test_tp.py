@@ -125,3 +125,23 @@ def test_engine_tensor_parallel_matches_single(setup):
         finally:
             eng.stop()
     assert outs[1] == outs[2]
+
+
+def test_tp_int4_params(setup):
+    """INT4 block-local packing shards row-parallel without corruption."""
+    cfg, np_params, _ = setup
+    mesh = make_mesh(tp_size=2, dp_size=1, devices=jax.devices()[:2])
+    q4 = quantize_params(cfg, np_params, bits=4, group_size=16,
+                         dtype=jnp.float32)
+    s4 = shard_params(q4, mesh)
+    step = make_decode_step(cfg, mesh, s4)
+    cache = shard_cache(KVCache.create(cfg, batch=2, dtype=jnp.float32), mesh)
+
+    cache0 = KVCache.create(cfg, batch=2, dtype=jnp.float32)
+    want, _ = decode_step(q4, cfg, jnp.asarray([1, 1], jnp.int32),
+                          jnp.zeros(2, jnp.int32), cache0)
+    nxt, logits, cache = step(s4, jnp.asarray([1, 1], jnp.int32),
+                              jnp.zeros(2, jnp.int32), jnp.zeros(2),
+                              jnp.full(2, 0.9), jax.random.PRNGKey(0), cache)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
