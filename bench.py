@@ -5,14 +5,20 @@ Prints ONE JSON line to stdout:
 
 vs_baseline is against the best *published* reference 7B row — 2.42 tok/s
 fp32 on an Intel i9-13900KF (README.md:98); the reference publishes no 7B GPU
-number (SURVEY.md §6). The driver's north star (>2x an RTX-4090 reference)
-has no direct published row either; for scale, the 4090 achieves 201 tok/s on
-stories110M fp32.
+number (SURVEY.md §6).
 
-Method: zero-valued INT8 weights at exact 7B shapes (identical compute/memory
-behavior to real weights), whole generation as one on-device lax.scan (no
-per-token host sync), warm-up run excluded, best of 3 timed runs. Extra
-context (per-run timings, bandwidth) goes to stderr.
+Method: PRNG-seeded random INT8 weights at exact 7B shapes (non-degenerate —
+every weight byte affects the logits), whole generation as one on-device
+lax.scan (no per-token host sync), timing by slope over two scan lengths so
+the fixed ~25 ms tunnel dispatch+fetch cost cancels, best of 3 runs per
+length. Before timing, a correctness gate runs the compiled Pallas kernels
+(quant_matmul, quant_matmul_layered, decode_attention{,_layer}) against their
+XLA reference paths at 7B shapes and fails loudly on mismatch.
+
+Memory discipline (the round-1 bench OOMed here): exactly ONE KVCache is ever
+live — created once, donated to every decode call, and rebound from the
+return value. Peak = params (~6.9 GB int8+scales) + one cache (537 MB) +
+executable temps.
 """
 
 from __future__ import annotations
@@ -26,25 +32,91 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def log_mem(dev, tag):
+    try:
+        stats = dev.memory_stats()
+        used = stats.get("bytes_in_use", 0) / 1e9
+        limit = stats.get("bytes_limit", 0) / 1e9
+        log(f"[mem {tag}] {used:.2f} / {limit:.2f} GB in use")
+    except Exception:
+        pass
+
+
+def correctness_gate(params, cfg):
+    """Run the compiled (non-interpret) Pallas kernels against the XLA
+    reference paths at 7B shapes on the real chip. Closes the
+    interpret-mode-only test hole: a Mosaic miscompile fails the bench."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rama_tpu.models.llama import _attention
+    from rama_tpu.ops.pallas.decode_attention import (decode_attention,
+                                                      decode_attention_layer)
+    from rama_tpu.ops.pallas.quant_matmul import (quant_matmul,
+                                                  quant_matmul_layered)
+    from rama_tpu.ops.quant import QuantizedTensor, matmul_xla
+
+    key = jax.random.PRNGKey(42)
+    kx, kk, kv, kq = jax.random.split(key, 4)
+
+    def check(name, got, want, tol=0.05):
+        got = np.asarray(got, np.float32)
+        want = np.asarray(want, np.float32)
+        denom = float(np.abs(want).max()) + 1e-6
+        rel = float(np.abs(got - want).max()) / denom
+        log(f"[gate] {name}: max-abs-err {rel:.4f} (rel to max |ref| {denom:.3f})")
+        if not np.isfinite(got).all() or rel > tol:
+            raise SystemExit(f"correctness gate FAILED: {name} rel-err {rel}")
+
+    # fused dequant+matmul kernels vs dequantize-then-dot, on the actual
+    # bench weights (layer 1 of the stacked wqkv)
+    w = params["wqkv"]
+    l = 1
+    x = jax.random.normal(kx, (8, cfg.dim), jnp.bfloat16)
+    w_l = QuantizedTensor(q=w.q[l], scales=w.scales[l],
+                          group_size=w.group_size, bits=w.bits)
+    want = matmul_xla(x, w_l)
+    check("quant_matmul", quant_matmul(x, w_l), want)
+    check("quant_matmul_layered", quant_matmul_layered(x, w, jnp.int32(l)), want)
+
+    # fused decode attention vs the XLA einsum path, ragged positions
+    L, B, S, hd = 2, 2, 1024, cfg.head_dim
+    nkv, nh = cfg.n_kv_heads, cfg.n_heads
+    k_c = jax.random.normal(kk, (L, B, nkv, S, hd), jnp.bfloat16)
+    v_c = jax.random.normal(kv, (L, B, nkv, S, hd), jnp.bfloat16)
+    q = jax.random.normal(kq, (B, nh, hd), jnp.bfloat16)
+    pos = jnp.array([700, 13], jnp.int32)
+    mask = (jnp.arange(S)[None, None, :] <= pos[:, None, None])
+    want_att = _attention(q[:, None], k_c[1], v_c[1], mask)[:, 0]
+    check("decode_attention", decode_attention(q, k_c[1], v_c[1], pos), want_att)
+    check("decode_attention_layer",
+          decode_attention_layer(q, k_c, v_c, pos, jnp.int32(1)), want_att)
+
+
 def main():
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    from __graft_entry__ import _flagship_config, _zero_quant_params
+    from __graft_entry__ import _flagship_config, _random_quant_params
     from rama_tpu.models.llama import KVCache, decode_step
     from rama_tpu.runtime.sampler import sample_greedy
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
 
-    from rama_tpu.models.llama import fuse_params
-
     cfg = _flagship_config()
     t0 = time.time()
-    params = fuse_params(_zero_quant_params(cfg), cfg)
+    params = _random_quant_params(cfg)
     params = jax.block_until_ready(params)
     log(f"params on device in {time.time() - t0:.1f}s "
         f"(~{32 * (4096 * 4096 * 4 + 4096 * 11008 * 3) / 1e9:.1f} GB int8)")
+    log_mem(dev, "params")
+
+    t0 = time.time()
+    correctness_gate(params, cfg)
+    log(f"correctness gate passed in {time.time() - t0:.1f}s")
 
     steps = 64
     max_len = 1024
@@ -53,7 +125,7 @@ def main():
     from functools import partial
 
     @partial(jax.jit, static_argnames=("n",), donate_argnames=("cache",))
-    def decode_n(params, token, start_pos, key, cache, n):
+    def decode_n(params, token, start_pos, cache, n):
         def body(carry, pos):
             token, cache = carry
             logits, cache = decode_step(params, cfg, token,
@@ -66,36 +138,33 @@ def main():
         return out, cache
 
     token = jnp.ones((batch,), jnp.int32)
-    key = jax.random.PRNGKey(0)
 
-    # warm-up: compile + first run
+    # ONE cache for the whole bench: donated to each call, rebound from the
+    # return (contents are irrelevant to timing; start_pos=0 rewrites rows).
     cache = KVCache.create(cfg, batch=batch, max_len=max_len)
-    t0 = time.time()
-    out, cache = decode_n(params, token, jnp.int32(0), key, cache, steps)
-    jax.block_until_ready(out)
-    log(f"compile+first run: {time.time() - t0:.1f}s")
 
-    import numpy as np
-
-    # Two run lengths; the slope removes the host<->device fetch latency
-    # (which dominates on the tunneled dev setup and would otherwise
-    # understate tok/s). np.asarray is the completion barrier because
-    # block_until_ready can return early on this platform.
+    # Two run lengths; the slope removes the fixed host<->device dispatch+
+    # fetch cost (which dominates on the tunneled dev setup). np.asarray is
+    # the completion barrier because block_until_ready can return early on
+    # this platform.
     times = {}
     for n in (8, steps):
-        cache = KVCache.create(cfg, batch=batch, max_len=max_len)
-        out, cache = decode_n(params, token, jnp.int32(0), key, cache, n)
-        np.asarray(out)  # compile+warm
+        t0 = time.time()
+        out, cache = decode_n(params, token, jnp.int32(0), cache, n)
+        first_tokens = np.asarray(out)  # compile+warm (barrier)
+        log(f"n={n}: compile+first run {time.time() - t0:.1f}s; "
+            f"tokens {first_tokens[:4, 0].tolist()}...")
+        if n == steps and (first_tokens == first_tokens[0, 0]).all():
+            log("WARNING: all sampled tokens identical (greedy loop?)")
+        log_mem(dev, f"n={n}")
         best = float("inf")
-        for i in range(2):
-            cache = KVCache.create(cfg, batch=batch, max_len=max_len)
-            jax.block_until_ready(cache.k)
+        for _ in range(3):
             t0 = time.perf_counter()
-            out, cache = decode_n(params, token, jnp.int32(0), key, cache, n)
+            out, cache = decode_n(params, token, jnp.int32(0), cache, n)
             np.asarray(out)
             best = min(best, time.perf_counter() - t0)
         times[n] = best
-        log(f"n={n}: {best:.3f}s")
+        log(f"n={n}: best {best:.3f}s")
     per_step = (times[steps] - times[8]) / (steps - 8)
     tok_s = batch / per_step
     weight_bytes = 32 * (4096 * 4096 * 4 + 4096 * 11008 * 3)  # int8 layer weights

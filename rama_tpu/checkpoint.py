@@ -263,11 +263,20 @@ def load_checkpoint(path: str, dtype=np.float32):
             if not cfg.shared_classifier:
                 names.append("wcls")
             for name in names:
+                # The reference serializes each *per-layer* matrix as its own
+                # (q, scales) pair (export.py:197-254: the weights list holds
+                # one entry per layer, and q/s interleave per entry) — so a
+                # stacked (L, out, in) tensor is L interleaved blocks, not one
+                # int8 block followed by all scales.
                 shape = shapes[name]
-                n = int(np.prod(shape))
-                q = r.i8(n)
-                s = r.f32((n // group_size,))
-                params[name] = dequantize_q80(q, s, group_size).reshape(shape)
+                per = shape[1:] if len(shape) == 3 else shape
+                n = int(np.prod(per))
+                blocks = []
+                for _ in range(shape[0] if len(shape) == 3 else 1):
+                    q = r.i8(n)
+                    s = r.f32((n // group_size,))
+                    blocks.append(dequantize_q80(q, s, group_size))
+                params[name] = np.stack(blocks).reshape(shape)
         else:
             raise ValueError(f"unsupported checkpoint version {version}")
 
@@ -306,11 +315,20 @@ def load_checkpoint_quantized(path: str) -> QuantParams:
         if not cfg.shared_classifier:
             names.append("wcls")
         for name in names:
+            # Per-layer (q, scales) interleaving — see load_checkpoint's v2
+            # branch (reference export.py:197-254 writes one q/s pair per
+            # layer matrix, not one block per stacked tensor).
             shape = shapes[name]  # file orientation (..., out, in)
-            n = int(np.prod(shape))
-            q = r.i8(n).reshape(shape).copy()
-            s = r.f32(shape[:-1] + (shape[-1] // group_size,)).copy()
-            quant[name] = (q, s)
+            per = shape[1:] if len(shape) == 3 else shape
+            n = int(np.prod(per))
+            qs, ss = [], []
+            for _ in range(shape[0] if len(shape) == 3 else 1):
+                qs.append(r.i8(n).reshape(per).copy())
+                ss.append(r.f32(per[:-1] + (per[-1] // group_size,)).copy())
+            if len(shape) == 3:
+                quant[name] = (np.stack(qs), np.stack(ss))
+            else:
+                quant[name] = (qs[0], ss[0])
         return QuantParams(config=cfg, group_size=group_size, norms=norms, quant=quant)
     finally:
         r.close()
@@ -400,8 +418,12 @@ def save_v2(path: str, cfg: ModelConfig, params: dict, group_size: int = 64):
             names.append("wcls")
         for name in names:
             w = _from_canonical(name, params[name])
-            q, s, err = quantize_q80(w, group_size)
-            max_err = max(max_err, err)
-            q.astype(np.int8).tofile(f)
-            _write_f32(f, s)
+            # One (q, scales) pair per layer matrix, matching the reference's
+            # per-entry interleaving (export.py:197-254).
+            layers = w if w.ndim == 3 else w[None]
+            for wl in layers:
+                q, s, err = quantize_q80(wl, group_size)
+                max_err = max(max_err, err)
+                q.astype(np.int8).tofile(f)
+                _write_f32(f, s)
     return max_err

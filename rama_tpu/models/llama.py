@@ -216,6 +216,10 @@ def _concat_weights(ws, cfg: ModelConfig, tp_size: int):
     """
     def slices(w):
         n = w.shape[-1]
+        if n % tp_size != 0:
+            raise ValueError(
+                f"tensor-parallel size {tp_size} does not divide output dim "
+                f"{n}; columns would be silently dropped")
         step = n // tp_size
         return [(i * step, step) for i in range(tp_size)]
 

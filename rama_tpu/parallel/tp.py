@@ -74,6 +74,17 @@ def cache_spec() -> KVCache:
     return KVCache(k=s, v=s)
 
 
+def validate_tp(cfg: ModelConfig, tp: int) -> None:
+    """Enforce the docstring's divisibility constraints up front: a tp that
+    does not divide these dims would otherwise silently drop columns (in
+    _concat_weights) or fail deep inside shard_map with a shape error."""
+    for label, n in (("n_heads", cfg.n_heads), ("n_kv_heads", cfg.n_kv_heads),
+                     ("hidden_dim", cfg.hidden_dim), ("vocab_size", cfg.vocab_size),
+                     ("dim", cfg.dim)):
+        if n % tp != 0:
+            raise ValueError(f"tp_size {tp} does not divide {label}={n}")
+
+
 def shard_params(params, mesh: Mesh):
     """device_put the params pytree with the TP layout.
 

@@ -147,6 +147,10 @@ class Engine:
         if self.tp > 1 and self.paged:
             raise ValueError("paged KV cache with tensor parallelism is not "
                              "supported yet; use dense slots (paged_kv=False)")
+        if self.tp > 1:
+            from rama_tpu.parallel.tp import validate_tp
+
+            validate_tp(cfg, self.tp)
         if "wqkv" in params:
             if self.tp > 1:
                 # fused column layout is tp-specific; a tp=1 fusion sharded
@@ -278,7 +282,10 @@ class Engine:
             from rama_tpu.runtime.paged import insert_prefill_paged
 
             if self.allocator.reserve(slot_idx, t_ins) < 0:
-                req.queue.put(None)  # out of KV pages: reject
+                # out of KV pages: reject as an error, not a silent empty
+                # stream (the server turns req.error into an SSE error event)
+                req.error = "out of KV cache pages"
+                req.queue.put(None)
                 return
             table = self.allocator.table(slot_idx)
             self.page_tables[slot_idx, : len(table)] = table
@@ -415,6 +422,7 @@ class Engine:
                 if s.free:
                     continue
                 if self.allocator.reserve(i, int(pos[i]) + 1) < 0:
+                    s.request.error = "out of KV cache pages"
                     self._finish(s)
                     continue
                 table = self.allocator.table(i)

@@ -31,8 +31,9 @@ class Tokenizer:
         self._native = None  # optional C++ encoder (rama_tpu.native)
         self.token_to_id = {}
         for i, tok in enumerate(vocab):
-            # First occurrence wins, matching HashMap insert-then-overwrite in
-            # the reference (bpe.rs:43 inserts later ids over earlier ones).
+            # Last occurrence wins: later ids overwrite earlier ones, matching
+            # the reference's HashMap insert (bpe.rs:42) and the C++ encoder
+            # (native/rama_native.cpp).
             self.token_to_id[tok] = i
 
     @classmethod

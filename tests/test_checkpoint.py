@@ -85,6 +85,74 @@ def test_v2_quant_params_view(tmp_path, model):
     np.testing.assert_allclose(w.transpose(0, 2, 1), dq["w1"], rtol=0, atol=0)
 
 
+def _write_reference_v2(path, cfg, params, group_size):
+    """Independent re-implementation of the reference's v2 serialization
+    (export.py:182-260): per-layer weight matrices in file orientation
+    (out, in), each immediately followed by its own fp32 scales — NOT one
+    int8 block per stacked tensor. Written here from the reference's spec so
+    the repo's readers are cross-checked against the actual byte layout, not
+    just against save_v2."""
+    import struct
+
+    def file_orient(name):
+        w = params[name]
+        if w.ndim == 3:
+            return w.transpose(0, 2, 1)  # canonical (L,in,out)->(L,out,in)
+        if name in ("tok_embedding",):
+            return w
+        return w.T
+
+    with open(path, "wb") as f:
+        f.write(struct.pack("<I", 0x616B3432))
+        f.write(struct.pack("<i", 2))
+        f.write(struct.pack("<7i", cfg.dim, cfg.hidden_dim, cfg.n_layers,
+                            cfg.n_heads, cfg.n_kv_heads, cfg.vocab_size,
+                            cfg.seq_len))
+        f.write(struct.pack("<B", int(cfg.shared_classifier)))
+        f.write(struct.pack("<i", group_size))
+        f.write(b"\0" * (256 - f.tell()))
+        for name in ("attn_norm", "ffn_norm", "final_norm"):
+            np.ascontiguousarray(params[name], dtype="<f4").tofile(f)
+        # the reference's flat weights list: one entry per layer matrix
+        entries = [file_orient("tok_embedding")]
+        for name in ("wq", "wk", "wv", "wo", "w1", "w2", "w3"):
+            entries.extend(file_orient(name))  # L separate matrices
+        if not cfg.shared_classifier:
+            entries.append(file_orient("wcls"))
+        for w in entries:
+            flat = np.ascontiguousarray(w, dtype=np.float32).reshape(-1, group_size)
+            s = (np.abs(flat).max(axis=1) / 127.0).astype(np.float32)
+            s = np.where(s == 0, 1e-10, s)
+            q = np.round(flat / s[:, None]).astype(np.int8)
+            q.reshape(-1).tofile(f)
+            np.ascontiguousarray(s, dtype="<f4").tofile(f)
+
+
+def test_v2_reference_byte_layout_cross_compat(tmp_path, model):
+    """Reference-exported multi-layer v2 files interleave q/scales per layer;
+    both loaders must parse that layout (round-1 bug: stacked-block reads)."""
+    cfg, params = model
+    assert cfg.n_layers >= 2, "needs multiple layers to expose interleaving"
+    path = tmp_path / "ref_layout.bin"
+    _write_reference_v2(path, cfg, params, group_size=16)
+
+    cfg2, dq = ckpt.load_checkpoint(path)
+    assert cfg2 == cfg
+    for k in params:
+        np.testing.assert_allclose(dq[k], params[k], atol=3e-3, err_msg=k)
+
+    qp = ckpt.load_checkpoint_quantized(path)
+    q, s = qp.quant["w1"]
+    w = q.astype(np.float32).reshape(*s.shape, 16) * s[..., None]
+    np.testing.assert_allclose(
+        w.reshape(q.shape).transpose(0, 2, 1), params["w1"], atol=3e-3)
+
+    # and save_v2 must emit the same interleaved layout byte-for-byte
+    path2 = tmp_path / "ours.bin"
+    ckpt.save_v2(path2, cfg, params, group_size=16)
+    assert path.read_bytes() == path2.read_bytes()
+
+
 def test_quantize_q80_exact_for_small_ints():
     w = np.arange(-64, 64, dtype=np.float32).reshape(2, 64)
     q, s, err = ckpt.quantize_q80(w, 64)
