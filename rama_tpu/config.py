@@ -76,6 +76,12 @@ class EngineConfig:
     # Serving / batching knobs (no reference equivalent — the reference runs one
     # unbatched generation per request; see SURVEY.md §5).
     max_batch_size: int = 8
+    # Decode steps per device dispatch. Each engine tick runs this many
+    # sampled decode steps in one on-device lax.scan, amortizing the
+    # host<->device round-trip (the dominant serving cost on dispatch-bound
+    # setups). Slots that finish mid-tick overshoot speculatively; the extra
+    # tokens are discarded host-side and their KV writes are never attended.
+    decode_tick: int = 8
     max_seq_len: int | None = None  # None -> model seq_len
     paged_kv: bool = False          # page-pool cache instead of dense slots
     kv_page_size: int = 128

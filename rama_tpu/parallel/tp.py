@@ -156,6 +156,43 @@ def make_decode_step(cfg: ModelConfig, mesh: Mesh, params_example):
     return step
 
 
+def make_decode_tick(cfg: ModelConfig, mesh: Mesh, params_example, n: int):
+    """Build the jitted TP+DP multi-token tick: n sampled decode steps in one
+    dispatch (an on-device scan whose body is the shard_mapped step), so the
+    serving loop pays one host round-trip per n tokens.
+
+    Returns tick(params, tokens (B,), pos (B,), temps, top_ps, key, cache)
+    -> (tokens (n, B), cache).
+    """
+    pspecs = param_specs(params_example)
+    cspec = cache_spec()
+
+    def inner(params, tokens, pos, cache):
+        logits, cache = forward(params, cfg, tokens[:, None], pos[:, None],
+                                cache, tp_axis=MODEL_AXIS)
+        return logits[:, 0], cache
+
+    mapped = jax.shard_map(
+        inner, mesh=mesh,
+        in_specs=(pspecs, P(DATA_AXIS), P(DATA_AXIS), cspec),
+        out_specs=(P(DATA_AXIS, None), cspec),
+        check_vma=False)
+
+    @partial(jax.jit, donate_argnames=("cache",))
+    def tick(params, tokens, pos, temps, top_ps, key, cache):
+        def body(carry, key_j):
+            tokens, pos, cache = carry
+            logits, cache = mapped(params, tokens, pos, cache)
+            nxt = sample_batched(logits, key_j, temps, top_ps)
+            return (nxt, pos + 1, cache), nxt
+
+        keys = jax.random.split(key, n)
+        (_, _, cache), out = jax.lax.scan(body, (tokens, pos, cache), keys)
+        return out, cache
+
+    return tick
+
+
 def make_prefill(cfg: ModelConfig, mesh: Mesh, params_example):
     """Build the jitted TP prefill over a (B, T) prompt chunk from pos 0.
 

@@ -79,24 +79,46 @@ def _bucket(n: int, lo: int = 16) -> int:
     return b
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+@partial(jax.jit, static_argnames=("cfg", "n"), donate_argnames=("cache",))
 def _decode_tick(params, cfg: ModelConfig, tokens, pos, temps, top_ps, key,
-                 cache: KVCache):
-    """One batched decode step + in-graph sampling for all slots."""
-    logits, cache = decode_step(params, cfg, tokens, pos, cache)
-    nxt = sample_batched(logits, key, temps, top_ps)
-    return nxt, cache
+                 cache: KVCache, n: int = 1):
+    """n sampled decode steps for all slots in ONE device dispatch.
+
+    The scan feeds each sampled token back as the next input, so a single
+    host round-trip yields n tokens per slot (out: (n, B)). Slots that
+    logically finish mid-scan keep decoding speculatively — their extra
+    tokens are discarded by the host emit loop, and the speculative KV
+    writes land at positions the attention mask never reads before they
+    are overwritten (decode writes position p before any query attends it).
+    """
+    def body(carry, key_j):
+        tokens, pos, cache = carry
+        logits, cache = decode_step(params, cfg, tokens, pos, cache)
+        nxt = sample_batched(logits, key_j, temps, top_ps)
+        return (nxt, pos + 1, cache), nxt
+
+    keys = jax.random.split(key, n)
+    (_, _, cache), out = jax.lax.scan(body, (tokens, pos, cache), keys)
+    return out, cache
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+@partial(jax.jit, static_argnames=("cfg", "n"), donate_argnames=("cache",))
 def _decode_tick_paged(params, cfg: ModelConfig, tokens, pos, temps, top_ps,
-                       key, cache, page_tables):
+                       key, cache, page_tables, n: int = 1):
+    """Paged multi-token tick; page tables must cover pos+n (reserved by the
+    host loop before dispatch)."""
     from rama_tpu.runtime.paged import _decode_step_paged_impl
 
-    logits, cache = _decode_step_paged_impl(params, cfg, tokens, pos, cache,
-                                            page_tables)
-    nxt = sample_batched(logits, key, temps, top_ps)
-    return nxt, cache
+    def body(carry, key_j):
+        tokens, pos, cache = carry
+        logits, cache = _decode_step_paged_impl(params, cfg, tokens, pos,
+                                                cache, page_tables)
+        nxt = sample_batched(logits, key_j, temps, top_ps)
+        return (nxt, pos + 1, cache), nxt
+
+    keys = jax.random.split(key, n)
+    (_, _, cache), out = jax.lax.scan(body, (tokens, pos, cache), keys)
+    return out, cache
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -168,7 +190,8 @@ class Engine:
             self.mesh = make_mesh(tp_size=self.tp, dp_size=1,
                                   devices=jax.devices()[: self.tp])
             params = tp_mod.shard_params(params, self.mesh)
-            self._tp_step = tp_mod.make_decode_step(cfg, self.mesh, params)
+            self._tp_tick = tp_mod.make_decode_tick(cfg, self.mesh, params,
+                                                    n=self.ecfg.decode_tick)
             self._tp_prefill = tp_mod.make_prefill(cfg, self.mesh, params)
         self.params = params
         if self.paged:
@@ -414,14 +437,24 @@ class Engine:
             temps[i] = s.request.temperature
             tps[i] = s.request.top_p
         self.key, sub = jax.random.split(self.key)
+        # Shrink the tick so no slot overshoots its remaining token budget by
+        # much: one dispatch still yields up to decode_tick tokens, but a tick
+        # that would be >50% speculative waste drops to the tightest need.
+        # (Each distinct n compiles once; n is clamped to powers of two to
+        # bound the compile count.)
+        n = self.ecfg.decode_tick
+        remaining = min(s.request.steps - s.generated for s in active)
+        while n > 1 and n // 2 >= remaining:
+            n //= 2
         t0 = time.time()
         if self.paged:
-            # grow page tables for slots whose next position crosses a
-            # page boundary; a failed reserve finishes that request
+            # grow page tables to cover all n positions this tick writes;
+            # a failed reserve finishes that request with an error
             for i, s in enumerate(self.slots):
                 if s.free:
                     continue
-                if self.allocator.reserve(i, int(pos[i]) + 1) < 0:
+                if self.allocator.reserve(
+                        i, min(int(pos[i]) + n, self.max_len)) < 0:
                     s.request.error = "out of KV cache pages"
                     self._finish(s)
                     continue
@@ -430,24 +463,27 @@ class Engine:
             nxt, self.cache = _decode_tick_paged(
                 self.params, cfg, jnp.asarray(tokens), jnp.asarray(pos),
                 jnp.asarray(temps), jnp.asarray(tps), sub, self.cache,
-                jnp.asarray(self.page_tables))
+                jnp.asarray(self.page_tables), n)
         elif self.tp > 1:
-            nxt, _, self.cache = self._tp_step(
+            nxt, self.cache = self._tp_tick(
                 self.params, jnp.asarray(tokens), jnp.asarray(pos),
                 jnp.asarray(temps), jnp.asarray(tps), sub, self.cache)
         else:
             nxt, self.cache = _decode_tick(
                 self.params, cfg, jnp.asarray(tokens), jnp.asarray(pos),
-                jnp.asarray(temps), jnp.asarray(tps), sub, self.cache)
-        nxt = np.asarray(nxt)
+                jnp.asarray(temps), jnp.asarray(tps), sub, self.cache, n)
+        nxt = np.asarray(nxt)  # (n, B)
         self.metrics["decode_ticks"] += 1
         self.metrics["decode_s"] += time.time() - t0
         for i, s in enumerate(self.slots):
             if s.free:
                 continue
-            s.pos += 1
-            s.last_token = int(nxt[i])
-            self._emit(s, s.last_token)
+            for j in range(nxt.shape[0]):
+                s.pos += 1
+                s.last_token = int(nxt[j, i])
+                self._emit(s, s.last_token)
+                if s.free:  # finished mid-tick; drop speculative tokens
+                    break
 
     # -- observability ------------------------------------------------------
 

@@ -147,11 +147,34 @@ def test_stats_shape(engine_setup):
     assert s["active_slots"] == 0
 
 
+def test_multi_token_tick_matches_single(engine_setup):
+    """decode_tick=8 must emit exactly the stream decode_tick=1 does: the
+    scan feeds sampled tokens back in-graph, and mid-tick finishes discard
+    the speculative tail."""
+    cfg, np_params, params, tok, _ = engine_setup
+    outs = []
+    for tick in (1, 8):
+        eng = Engine(cfg, params, tok,
+                     EngineConfig(max_batch_size=4, decode_tick=tick))
+        eng.start()
+        try:
+            reqs = [Request(prompt=p, steps=s, temperature=0.0)
+                    for p, s in (("abc", 13), ("zz", 3), ("q", 8))]
+            for r in reqs:
+                eng.submit(r)
+            outs.append([collect(r) for r in reqs])
+        finally:
+            eng.stop()
+    assert outs[0] == outs[1]
+
+
 def test_engine_recovers_from_device_error(engine_setup):
     """A device-loop failure kills in-flight requests with error set, rebuilds
     the cache, and the engine keeps serving new requests."""
     cfg, np_params, params, tok, ecfg = engine_setup
-    eng = Engine(cfg, params, tok, ecfg)
+    # decode_tick=1 so a request spans multiple loop iterations and the
+    # injected failure lands while a slot is active mid-decode
+    eng = Engine(cfg, params, tok, EngineConfig(max_batch_size=4, decode_tick=1))
 
     original = eng._loop_once
     state = {"bombs": 1}
