@@ -51,7 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("input", help=".bin file, HF model path, llama2.c .pt, or "
                                  "Meta consolidated dir")
     e.add_argument("output")
-    e.add_argument("--version", type=int, default=2, choices=[0, 1, 2])
+    e.add_argument("--version", type=int, default=2, choices=[-1, 0, 1, 2],
+                   help="-1 writes a HuggingFace checkpoint directory "
+                        "(reference export.py:508 convention)")
     e.add_argument("--group-size", type=int, default=64)
     e.add_argument("--source", default="auto",
                    choices=["auto", "bin", "hf", "llama2c", "meta"],
@@ -155,7 +157,11 @@ def cmd_export(args) -> int:
         from rama_tpu.export import meta_to_params
 
         cfg, params = meta_to_params(args.input)
-    if args.version == 0:
+    if args.version == -1:
+        from rama_tpu.export import params_to_hf
+
+        params_to_hf(cfg, params, args.output)
+    elif args.version == 0:
         save_v0(args.output, cfg, params)
     elif args.version == 1:
         save_v1(args.output, cfg, params)

@@ -49,6 +49,75 @@ def permute_reverse(w: np.ndarray, n_heads: int, head_dim: int) -> np.ndarray:
             .reshape(out_dim, in_dim))
 
 
+def permute_forward(w: np.ndarray, n_heads: int, head_dim: int) -> np.ndarray:
+    """llama2.c interleaved pairs -> HF half-split rotary layout (the inverse
+    of permute_reverse; reference hf_export's permute_original,
+    export.py:283-284, generalized to GQA head counts)."""
+    out_dim, in_dim = w.shape
+    return (w.reshape(n_heads, head_dim // 2, 2, in_dim)
+            .transpose(0, 2, 1, 3)
+            .reshape(out_dim, in_dim))
+
+
+def params_to_hf(cfg: ModelConfig, params: dict, out_dir,
+                 dtype=np.float32) -> None:
+    """Write canonical params as a HuggingFace Llama checkpoint directory
+    (pytorch_model.bin + config.json) loadable by
+    transformers.AutoModelForCausalLM — the re-export direction of the
+    reference's hf_export (export.py:262-350), incl. the forward WQ/WK
+    rotary permutation and tied lm_head handling.
+    """
+    import torch
+    from transformers.models.llama.configuration_llama import LlamaConfig
+
+    from rama_tpu.checkpoint import _from_canonical
+
+    hd = cfg.head_dim
+    torch_dtype = torch.from_numpy(np.zeros(0, dtype=dtype)).dtype
+
+    def t(arr):
+        return torch.from_numpy(
+            np.ascontiguousarray(arr, dtype=np.float32)).to(torch_dtype)
+
+    fileo = {k: _from_canonical(k, np.asarray(v, np.float32))
+             for k, v in params.items()}
+
+    sd = {
+        "model.embed_tokens.weight": t(fileo["tok_embedding"]),
+        "model.norm.weight": t(fileo["final_norm"]),
+    }
+    for i in range(cfg.n_layers):
+        for name, (tmpl, permute) in _LAYER_MAP.items():
+            w = fileo[name][i]
+            if permute:
+                heads = cfg.n_heads if name == "wq" else cfg.n_kv_heads
+                w = permute_forward(w, heads, hd)
+            sd[tmpl.format(i=i)] = t(w)
+    # tied weights reference the embedding (export.py:304-310)
+    sd["lm_head.weight"] = (sd["model.embed_tokens.weight"]
+                            if cfg.shared_classifier
+                            else t(fileo["wcls"]))
+
+    hfc = LlamaConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.dim,
+        intermediate_size=cfg.hidden_dim,
+        num_hidden_layers=cfg.n_layers,
+        num_attention_heads=cfg.n_heads,
+        num_key_value_heads=cfg.n_kv_heads,
+        max_position_embeddings=cfg.seq_len,
+        rms_norm_eps=cfg.norm_eps,
+        rope_theta=cfg.rope_theta,
+        tie_word_embeddings=cfg.shared_classifier,
+        architectures=["LlamaForCausalLM"],
+        hidden_act="silu",
+    )
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    torch.save(sd, out_dir / "pytorch_model.bin")
+    hfc.save_pretrained(out_dir)
+
+
 def _to_np(t) -> np.ndarray:
     return np.asarray(t.detach().to("cpu").float().numpy() if hasattr(t, "detach") else t,
                       dtype=np.float32)

@@ -22,14 +22,19 @@ import pathlib
 import numpy as np
 import pytest
 
+# Vendored llama2 tokenizer artifact (the public llama2.c tokenizer.bin) so
+# the encode-parity tests run in any checkout; falls back to the reference
+# mount when the fixture is absent.
+VENDORED_TOKENIZER = pathlib.Path(__file__).parent / "fixtures" / "tokenizer.bin"
 REFERENCE_TOKENIZER = pathlib.Path("/root/reference/engine/tokenizer.bin")
 
 
 @pytest.fixture(scope="session")
 def tokenizer_bin() -> pathlib.Path:
-    if not REFERENCE_TOKENIZER.exists():
-        pytest.skip("reference tokenizer.bin not available")
-    return REFERENCE_TOKENIZER
+    for p in (VENDORED_TOKENIZER, REFERENCE_TOKENIZER):
+        if p.exists():
+            return p
+    pytest.skip("no tokenizer.bin fixture available")
 
 
 @pytest.fixture(scope="session")

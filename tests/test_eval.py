@@ -59,15 +59,34 @@ def test_ppl_matches_reference(setup):
     np.testing.assert_allclose(res["perplexity"], want, rtol=1e-3)
 
 
-def test_quantized_ppl_gate(setup):
-    """INT8 ppl within 1% of fp32 — the BASELINE gate machinery itself."""
-    cfg, np_params, params, tok = setup
-    text = "the cat sat on the mat and the dog ran away " * 4
-    fp = perplexity(params, cfg, tok, text, window=16)
+def test_quantized_ppl_gate():
+    """Synthetic quantization-quality gate (BASELINE bands: INT8 within 1%
+    of fp32, INT4 within 3%) on a model sharp enough to be *sensitive*: at
+    weight scale 0.1 an int4 scale-row mis-indexing moves ppl ~9% (measured),
+    so a kernel or packing regression trips the bands. The scale-0.02 fixture
+    model is near-uniform and would pass the bands even fully corrupted."""
+    from rama_tpu.ops.quant import QuantizedTensor
+
+    cfg = tiny_config(seq_len=48)
+    np_params = random_params(cfg, seed=51, scale=0.1)
+    params = load_params(cfg, np_params, dtype=jnp.float32)
+    tok = make_tokenizer(cfg.vocab_size)
+    text = "the quick brown fox jumps over the lazy dog " * 8
+
+    fp = perplexity(params, cfg, tok, text, window=32)["perplexity"]
     q8 = quantize_params(cfg, np_params, bits=8, group_size=16, dtype=jnp.float32)
-    p8 = perplexity(q8, cfg, tok, text, window=16)
-    assert abs(p8["perplexity"] - fp["perplexity"]) / fp["perplexity"] < 0.01
+    p8 = perplexity(q8, cfg, tok, text, window=32)["perplexity"]
+    assert abs(p8 - fp) / fp < 0.01, f"int8 ppl {p8} vs fp32 {fp}"
 
     q4 = quantize_params(cfg, np_params, bits=4, group_size=16, dtype=jnp.float32)
-    p4 = perplexity(q4, cfg, tok, text, window=16)
-    assert abs(p4["perplexity"] - fp["perplexity"]) / fp["perplexity"] < 0.03
+    p4 = perplexity(q4, cfg, tok, text, window=32)["perplexity"]
+    assert abs(p4 - fp) / fp < 0.03, f"int4 ppl {p4} vs fp32 {fp}"
+
+    # meta-check: the gate must actually CATCH a packing/scale regression —
+    # rolling w2's scale rows by one group simulates scale mis-indexing
+    w2 = q4["w2"]
+    q4c = dict(q4)
+    q4c["w2"] = QuantizedTensor(q=w2.q, scales=jnp.roll(w2.scales, 1, axis=-2),
+                                group_size=w2.group_size, bits=w2.bits)
+    p4c = perplexity(q4c, cfg, tok, text, window=32)["perplexity"]
+    assert abs(p4c - fp) / fp > 0.03, "gate too insensitive to catch corruption"

@@ -55,6 +55,37 @@ def test_hf_tied_embeddings():
     np.testing.assert_allclose(params["wcls"], params["tok_embedding"].T)
 
 
+@pytest.mark.parametrize("tie", [False, True])
+def test_hf_reexport_roundtrip(tmp_path, tie):
+    """HF -> canonical -> params_to_hf -> transformers: the re-exported
+    checkpoint must produce logits identical to the original model
+    (round-trips the forward/reverse rotary permutation, GQA mapping, and
+    tied lm_head through a real from_pretrained load)."""
+    from transformers import AutoModelForCausalLM
+
+    from rama_tpu.export import params_to_hf
+
+    model = make_hf_model(n_kv_heads=2, tie=tie)
+    cfg, params = hf_to_params(model)
+    out = tmp_path / "hf_out"
+    params_to_hf(cfg, params, out)
+    model2 = AutoModelForCausalLM.from_pretrained(out)
+    assert model2.config.tie_word_embeddings == tie
+    assert model2.config.num_key_value_heads == 2
+
+    tokens = torch.tensor([[5, 11, 42, 7, 90, 3]])
+    with torch.no_grad():
+        want = model(tokens).logits.numpy()
+        got = model2(tokens).logits.numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # and the state dict round-trips through hf_to_params exactly
+    cfg2, params2 = hf_to_params(model2)
+    assert cfg2 == cfg
+    for k in params:
+        np.testing.assert_allclose(params2[k], params[k], atol=1e-6, err_msg=k)
+
+
 def test_permute_reverse_roundtrip():
     rng = np.random.default_rng(0)
     n_heads, hd, d = 4, 16, 64
