@@ -193,6 +193,86 @@ def make_decode_tick(cfg: ModelConfig, mesh: Mesh, params_example, n: int):
     return tick
 
 
+def paged_cache_spec():
+    """Page pool (L, P, n_kv, ps, hd): KV heads shard over `model`, the page
+    dimension is shared (one pool, every chip holds its head-slice of every
+    page). Page tables are host bookkeeping and stay replicated."""
+    from rama_tpu.runtime.paged import PagedKVCache
+
+    s = P(None, None, MODEL_AXIS, None, None)
+    return PagedKVCache(k=s, v=s)
+
+
+def shard_paged_cache(cache, mesh: Mesh):
+    from rama_tpu.runtime.paged import PagedKVCache
+
+    spec = paged_cache_spec()
+    return PagedKVCache(
+        k=jax.device_put(cache.k, NamedSharding(mesh, spec.k)),
+        v=jax.device_put(cache.v, NamedSharding(mesh, spec.v)))
+
+
+def make_paged_decode_tick(cfg: ModelConfig, mesh: Mesh, params_example,
+                           n: int):
+    """TP multi-token tick against the paged pool: n sampled decode steps per
+    dispatch, attention reading each chip's KV-head slice of the page pool in
+    place (ragged paged kernel on TPU, gather view elsewhere).
+
+    Returns tick(params, tokens (B,), pos (B,), temps, top_ps, key, cache,
+    page_tables (B, max_pages)) -> (tokens (n, B), cache).
+    """
+    from rama_tpu.runtime.paged import forward_paged
+
+    pspecs = param_specs(params_example)
+    cspec = paged_cache_spec()
+
+    def inner(params, tokens, pos, cache, tables):
+        logits, cache = forward_paged(params, cfg, tokens[:, None],
+                                      pos[:, None], cache, tables,
+                                      tp_axis=MODEL_AXIS)
+        return logits[:, 0], cache
+
+    mapped = jax.shard_map(
+        inner, mesh=mesh,
+        in_specs=(pspecs, P(DATA_AXIS), P(DATA_AXIS), cspec, P(DATA_AXIS, None)),
+        out_specs=(P(DATA_AXIS, None), cspec),
+        check_vma=False)
+
+    @partial(jax.jit, donate_argnames=("cache",))
+    def tick(params, tokens, pos, temps, top_ps, key, cache, tables):
+        def body(carry, key_j):
+            tokens, pos, cache = carry
+            logits, cache = mapped(params, tokens, pos, cache, tables)
+            nxt = sample_batched(logits, key_j, temps, top_ps)
+            return (nxt, pos + 1, cache), nxt
+
+        keys = jax.random.split(key, n)
+        (_, _, cache), out = jax.lax.scan(body, (tokens, pos, cache), keys)
+        return out, cache
+
+    return tick
+
+
+def make_paged_insert(cfg: ModelConfig, mesh: Mesh):
+    """TP prefill insert: scatter a KV-head-sharded (L, kv, T, hd) strip into
+    one slot's pages of the sharded pool."""
+    from rama_tpu.runtime.paged import _insert_prefill_paged_impl
+
+    cspec = paged_cache_spec()
+    strip = P(None, MODEL_AXIS, None, None)
+
+    mapped = jax.shard_map(
+        _insert_prefill_paged_impl, mesh=mesh,
+        in_specs=(cspec, strip, strip, P(None)),
+        out_specs=cspec, check_vma=False)
+
+    @partial(jax.jit, donate_argnames=("cache",))
+    def insert(cache, k_strip, v_strip, page_table_row):
+        return mapped(cache, k_strip, v_strip, page_table_row)
+
+    return insert
+
+
 def make_prefill(cfg: ModelConfig, mesh: Mesh, params_example):
     """Build the jitted TP prefill over a (B, T) prompt chunk from pos 0.
 

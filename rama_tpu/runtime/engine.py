@@ -152,9 +152,10 @@ class Engine:
     """Owns the model, the slot pool, and the device loop thread.
 
     With EngineConfig.tp_size > 1 the engine runs tensor-parallel: params and
-    the KV cache are sharded over the ("data", "model") mesh and every tick
-    executes the shard_mapped decode step (BASELINE config #4: tensor-sharded
-    serving with continuous batching). Paged mode currently requires tp=1.
+    the KV cache (dense slots or the paged pool, whose KV heads shard over
+    `model`) live on the ("data", "model") mesh and every tick executes the
+    shard_mapped decode step (BASELINE config #4: tensor-sharded serving
+    with continuous batching).
     """
 
     def __init__(self, cfg: ModelConfig, params, tokenizer: Tokenizer,
@@ -166,9 +167,6 @@ class Engine:
         self.max_len = min(self.ecfg.max_seq_len or cfg.seq_len, cfg.seq_len)
         self.paged = self.ecfg.paged_kv
         self.tp = self.ecfg.tp_size
-        if self.tp > 1 and self.paged:
-            raise ValueError("paged KV cache with tensor parallelism is not "
-                             "supported yet; use dense slots (paged_kv=False)")
         if self.tp > 1:
             from rama_tpu.parallel.tp import validate_tp
 
@@ -190,8 +188,13 @@ class Engine:
             self.mesh = make_mesh(tp_size=self.tp, dp_size=1,
                                   devices=jax.devices()[: self.tp])
             params = tp_mod.shard_params(params, self.mesh)
-            self._tp_tick = tp_mod.make_decode_tick(cfg, self.mesh, params,
-                                                    n=self.ecfg.decode_tick)
+            if self.paged:
+                self._tp_paged_tick = tp_mod.make_paged_decode_tick(
+                    cfg, self.mesh, params, n=self.ecfg.decode_tick)
+                self._tp_paged_insert = tp_mod.make_paged_insert(cfg, self.mesh)
+            else:
+                self._tp_tick = tp_mod.make_decode_tick(
+                    cfg, self.mesh, params, n=self.ecfg.decode_tick)
             self._tp_prefill = tp_mod.make_prefill(cfg, self.mesh, params)
         self.params = params
         if self.paged:
@@ -207,6 +210,10 @@ class Engine:
             self.trash_page = num_pages
             self.allocator = PageAllocator(num_pages, ps, b)
             self.cache = PagedKVCache.create(cfg, num_pages + 1, ps)
+            if self.tp > 1:
+                from rama_tpu.parallel.tp import shard_paged_cache
+
+                self.cache = shard_paged_cache(self.cache, self.mesh)
             self.page_tables = np.full((b, self.pages_per_slot),
                                        self.trash_page, np.int32)
         else:
@@ -312,9 +319,12 @@ class Engine:
                 return
             table = self.allocator.table(slot_idx)
             self.page_tables[slot_idx, : len(table)] = table
-            self.cache = insert_prefill_paged(
-                cfg, self.cache, k_new, v_new,
-                jnp.asarray(self.page_tables[slot_idx]))
+            row = jnp.asarray(self.page_tables[slot_idx])
+            if self.tp > 1:
+                self.cache = self._tp_paged_insert(self.cache, k_new, v_new, row)
+            else:
+                self.cache = insert_prefill_paged(cfg, self.cache, k_new,
+                                                  v_new, row)
         else:
             self.cache = _insert(cfg, self.cache, k_new, v_new,
                                  jnp.int32(slot_idx))
@@ -403,6 +413,10 @@ class Engine:
 
             ps = self.ecfg.kv_page_size
             self.cache = PagedKVCache.create(self.cfg, self.trash_page + 1, ps)
+            if self.tp > 1:
+                from rama_tpu.parallel.tp import shard_paged_cache
+
+                self.cache = shard_paged_cache(self.cache, self.mesh)
             self.page_tables[:] = self.trash_page
             from rama_tpu.native import PageAllocator
 
@@ -460,10 +474,16 @@ class Engine:
                     continue
                 table = self.allocator.table(i)
                 self.page_tables[i, : len(table)] = table
-            nxt, self.cache = _decode_tick_paged(
-                self.params, cfg, jnp.asarray(tokens), jnp.asarray(pos),
-                jnp.asarray(temps), jnp.asarray(tps), sub, self.cache,
-                jnp.asarray(self.page_tables), n)
+            if self.tp > 1:
+                nxt, self.cache = self._tp_paged_tick(
+                    self.params, jnp.asarray(tokens), jnp.asarray(pos),
+                    jnp.asarray(temps), jnp.asarray(tps), sub, self.cache,
+                    jnp.asarray(self.page_tables))
+            else:
+                nxt, self.cache = _decode_tick_paged(
+                    self.params, cfg, jnp.asarray(tokens), jnp.asarray(pos),
+                    jnp.asarray(temps), jnp.asarray(tps), sub, self.cache,
+                    jnp.asarray(self.page_tables), n)
         elif self.tp > 1:
             nxt, self.cache = self._tp_tick(
                 self.params, jnp.asarray(tokens), jnp.asarray(pos),

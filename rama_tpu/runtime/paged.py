@@ -7,13 +7,18 @@ cache storage is a pool of fixed-size pages (L, P, page_size, n_kv, hd);
 slots map positions to pages through a page table, so memory scales with
 *live tokens* and short requests don't reserve long-context room.
 
-Compute path (XLA): per layer, the slot's pages are gathered into a (B, S)
-view for attention and the new K/V is scatter-written through the table —
-the same single-program decode step as the dense path, just with one extra
-gather. The page-table bookkeeping (free lists, reserve/release) lives in
-the native allocator (rama_tpu.native.PageAllocator). A Pallas
-ragged-paged-attention kernel that skips the gather is the planned follow-up
-(PAPERS.md: Ragged Paged Attention).
+Compute paths:
+- **TPU decode (T=1)**: `_forward_decode_fused_paged` — layer-indexed quant
+  matmuls plus the ragged paged-attention Pallas kernel
+  (ops/pallas/paged_attention.py), which reads K/V straight from the page
+  pool via page-table scalar prefetch. No dense view is ever materialized,
+  and each slot streams only the pages it uses.
+- **Generic (prefill, CPU, odd shapes)**: per layer, the slot's pages are
+  gathered into a (B, S) view for attention and the new K/V is
+  scatter-written through the table.
+
+The page-table bookkeeping (free lists, reserve/release) lives in the native
+allocator (rama_tpu.native.PageAllocator).
 """
 
 from __future__ import annotations
@@ -53,9 +58,105 @@ class PagedKVCache:
         return self.k.shape[1]
 
 
+def _forward_decode_fused_paged(params, cfg: ModelConfig, tokens: jax.Array,
+                                pos_index: jax.Array, cache: PagedKVCache,
+                                page_tables: jax.Array,
+                                tp_axis: str | None = None):
+    """Decode-step (T=1) forward against the page pool, all reads in place.
+
+    Mirrors llama._forward_decode_fused: the pools are scan carries written
+    by a row scatter, weights stream through the layer-indexed quant kernels,
+    and attention reads the pool directly via the ragged paged kernel — no
+    per-layer dense view (the gather materialized 3x the cache traffic and
+    made paged mode lose to dense slots in round 1).
+    """
+    from rama_tpu.models.llama import (_linear, _linear_layered, apply_rope,
+                                       rmsnorm)
+    from rama_tpu.ops.pallas.paged_attention import paged_decode_attention_layer
+
+    b = tokens.shape[0]
+    dtype = params["final_norm"].dtype
+    x = _embed(params["tok_embedding"], tokens, dtype)           # (B, 1, D)
+    cos = jnp.take(params["rope_cos"], pos_index, axis=0)
+    sin = jnp.take(params["rope_sin"], pos_index, axis=0)
+    pos = pos_index[:, 0]                                        # (B,)
+    hd = cfg.head_dim
+    ps = cache.page_size
+    fused = "wqkv" in params
+    tables = jnp.maximum(page_tables, 0)
+    mp = tables.shape[1]
+    # Write target per slot. Speculative multi-token ticks may run pos past
+    # the reserved range; the clip keeps the write inside the slot's own
+    # pages, and such tokens are discarded host-side before anything attends
+    # the clobbered rows (see engine._decode_tick).
+    write_page = jnp.take_along_axis(
+        tables, jnp.minimum(pos // ps, mp - 1)[:, None], axis=1)[:, 0]
+    write_off = pos % ps
+
+    def body(carry, l):
+        x, k_pool, v_pool = carry
+        nkv_local = k_pool.shape[2]
+
+        xb = rmsnorm(x, jnp.take(params["attn_norm"], l, axis=0), cfg.norm_eps)
+        if fused:
+            heads_total = cfg.n_heads + 2 * cfg.n_kv_heads
+            heads_local = params["wqkv"].shape[-1] // hd
+            nh = heads_local * cfg.n_heads // heads_total
+            nkv = heads_local * cfg.n_kv_heads // heads_total
+            qkv = _linear_layered(xb, params["wqkv"], l)
+            q = qkv[..., : nh * hd].reshape(b, 1, nh, hd)
+            k = qkv[..., nh * hd : (nh + nkv) * hd].reshape(b, 1, nkv, hd)
+            v = qkv[..., (nh + nkv) * hd :].reshape(b, 1, nkv, hd)
+        else:
+            nh = params["wq"].shape[-1] // hd
+            nkv = params["wk"].shape[-1] // hd
+            q = _linear_layered(xb, params["wq"], l).reshape(b, 1, nh, hd)
+            k = _linear_layered(xb, params["wk"], l).reshape(b, 1, nkv, hd)
+            v = _linear_layered(xb, params["wv"], l).reshape(b, 1, nkv, hd)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        pg = write_page[:, None]                      # (B, 1)
+        hi = jnp.arange(nkv_local)[None, :]           # (1, nkv)
+        off = write_off[:, None]
+        k_pool = k_pool.at[l, pg, hi, off].set(k[:, 0].astype(k_pool.dtype))
+        v_pool = v_pool.at[l, pg, hi, off].set(v[:, 0].astype(v_pool.dtype))
+
+        att = paged_decode_attention_layer(q[:, 0], k_pool, v_pool, pos,
+                                           tables, l)
+        attn_out = _linear_layered(att, params["wo"], l)
+        if tp_axis is not None:
+            attn_out = jax.lax.psum(attn_out, tp_axis)
+        x = x + attn_out[:, None]
+
+        xb = rmsnorm(x, jnp.take(params["ffn_norm"], l, axis=0), cfg.norm_eps)
+        if fused:
+            h13 = _linear_layered(xb, params["w13"], l)
+            h1, h3 = jnp.split(h13, 2, axis=-1)
+        else:
+            h1 = _linear_layered(xb, params["w1"], l)
+            h3 = _linear_layered(xb, params["w3"], l)
+        ffn_out = _linear_layered(jax.nn.silu(h1) * h3, params["w2"], l)
+        if tp_axis is not None:
+            ffn_out = jax.lax.psum(ffn_out, tp_axis)
+        x = x + ffn_out
+        return (x, k_pool, v_pool), None
+
+    (x, k_new, v_new), _ = jax.lax.scan(
+        body, (x, cache.k, cache.v),
+        jnp.arange(cfg.n_layers, dtype=jnp.int32))
+
+    x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+    logits = _linear(x, params["wcls"]).astype(jnp.float32)
+    if tp_axis is not None:
+        logits = jax.lax.all_gather(logits, tp_axis, axis=logits.ndim - 1,
+                                    tiled=True)
+    return logits, PagedKVCache(k=k_new, v=v_new)
+
+
 def forward_paged(params, cfg: ModelConfig, tokens: jax.Array,
                   pos_index: jax.Array, cache: PagedKVCache,
-                  page_tables: jax.Array):
+                  page_tables: jax.Array, tp_axis: str | None = None):
     """Forward a (B, T) chunk against the paged cache.
 
     page_tables: (B, max_pages) int32 page ids (unused entries may hold any
@@ -63,6 +164,10 @@ def forward_paged(params, cfg: ModelConfig, tokens: jax.Array,
     is attended iff s <= pos_index[b, t]. Returns (logits, new cache).
     """
     b, t = tokens.shape
+    if (t == 1 and jax.default_backend() == "tpu"
+            and _paged_fused_supported(cfg, cache.page_size)):
+        return _forward_decode_fused_paged(params, cfg, tokens, pos_index,
+                                           cache, page_tables, tp_axis)
     ps = cache.page_size
     max_pages = page_tables.shape[1]
     s_max = max_pages * ps
@@ -78,7 +183,7 @@ def forward_paged(params, cfg: ModelConfig, tokens: jax.Array,
     write_off = pos_index % ps
 
     layer_params = {k: params[k] for k in _LAYER_KEYS if k in params}
-    nkv = cfg.n_kv_heads
+    nkv = cache.k.shape[2]  # local KV head count (sharded under TP)
 
     def body(x, xs):
         lp, k_pages, v_pages = xs                    # (P, nkv, ps, hd)
@@ -89,7 +194,7 @@ def forward_paged(params, cfg: ModelConfig, tokens: jax.Array,
 
         k_view, v_view = view(k_pages), view(v_pages)
         x, k_view2, v_view2 = _layer(x, lp, k_view, v_view, cos, sin,
-                                     pos_index, pos_mask, cfg)
+                                     pos_index, pos_mask, cfg, tp_axis)
         # extract the newly written rows and scatter them into the pool
         bi = jnp.arange(b)[:, None, None]
         hi = jnp.arange(nkv)[None, None, :]
@@ -105,7 +210,16 @@ def forward_paged(params, cfg: ModelConfig, tokens: jax.Array,
     x, (k_new, v_new) = jax.lax.scan(body, x, (layer_params, cache.k, cache.v))
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
     logits = _linear(x, params["wcls"]).astype(jnp.float32)
+    if tp_axis is not None:
+        logits = jax.lax.all_gather(logits, tp_axis, axis=logits.ndim - 1,
+                                    tiled=True)
     return logits, PagedKVCache(k=k_new, v=v_new)
+
+
+def _paged_fused_supported(cfg: ModelConfig, page_size: int) -> bool:
+    from rama_tpu.ops.pallas.paged_attention import paged_attn_supported
+
+    return paged_attn_supported(cfg, page_size)
 
 
 def _decode_step_paged_impl(params, cfg: ModelConfig, token: jax.Array,
@@ -120,13 +234,13 @@ decode_step_paged = partial(jax.jit, static_argnames=("cfg",),
                             donate_argnames=("cache",))(_decode_step_paged_impl)
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
-def insert_prefill_paged(cfg: ModelConfig, cache: PagedKVCache, k_strip,
-                         v_strip, page_table_row: jax.Array):
+def _insert_prefill_paged_impl(cache: PagedKVCache, k_strip, v_strip,
+                               page_table_row: jax.Array):
     """Write a prefilled (L, n_kv, T, hd) strip into one slot's pages.
 
     T must be <= the slot's reserved pages * page_size; position i maps to
-    (page_table_row[i // ps], i % ps).
+    (page_table_row[i // ps], i % ps). Shapes may be the local TP shards
+    (called inside shard_map by parallel.tp.make_paged_insert).
     """
     l, nkv, t_len, hd = k_strip.shape
     ps = cache.page_size
@@ -140,3 +254,9 @@ def insert_prefill_paged(cfg: ModelConfig, cache: PagedKVCache, k_strip,
     k = cache.k.at[:, pg, hi, off].set(val_k)
     v = cache.v.at[:, pg, hi, off].set(val_v)
     return PagedKVCache(k=k, v=v)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def insert_prefill_paged(cfg: ModelConfig, cache: PagedKVCache, k_strip,
+                         v_strip, page_table_row: jax.Array):
+    return _insert_prefill_paged_impl(cache, k_strip, v_strip, page_table_row)

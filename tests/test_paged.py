@@ -149,3 +149,64 @@ def test_paged_free_slot_writes_hit_trash_page(setup):
         assert got == want
     finally:
         eng.stop()
+
+
+def test_paged_attention_kernel_matches_gather():
+    """Ragged paged-attention kernel (interpret) vs gather-then-attention:
+    non-contiguous page tables, ragged positions spanning 1..3 pages."""
+    from rama_tpu.models.llama import _attention
+    from rama_tpu.ops.pallas.paged_attention import paged_decode_attention_layer
+
+    L, P, nkv, ps, hd = 3, 9, 2, 16, 128
+    b, rep = 2, 2
+    nh = nkv * rep
+    mp = 3
+    key = jax.random.PRNGKey(3)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, nh, hd), jnp.float32)
+    k_pool = jax.random.normal(kk, (L, P, nkv, ps, hd), jnp.float32)
+    v_pool = jax.random.normal(kv, (L, P, nkv, ps, hd), jnp.float32)
+    tables = jnp.asarray([[4, 1, 7], [2, 5, 0]], jnp.int32)
+    pos = jnp.asarray([37, 5], jnp.int32)  # slot0 -> 3 pages, slot1 -> 1
+
+    for layer in range(L):
+        got = paged_decode_attention_layer(q, k_pool, v_pool, pos, tables,
+                                           jnp.int32(layer), interpret=True)
+        # reference: gather the dense view, mask, einsum attention
+        kv_view = lambda pool: (jnp.take(pool[layer], tables, axis=0)
+                                .transpose(0, 2, 1, 3, 4)
+                                .reshape(b, nkv, mp * ps, hd))
+        mask = (jnp.arange(mp * ps)[None, None, :] <= pos[:, None, None])
+        want = _attention(q[:, None], kv_view(k_pool), kv_view(v_pool),
+                          mask)[:, 0]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"layer {layer}")
+
+
+def test_paged_engine_with_tensor_parallelism(setup):
+    """paged+TP serving: KV heads of the page pool shard over `model`; the
+    output stream must match the unsharded paged engine exactly."""
+    from rama_tpu.runtime.engine import Engine, Request
+    from tests.test_engine import collect, make_tokenizer
+
+    cfg, params = setup
+    if jax.device_count() < 2:
+        pytest.skip("needs >=2 devices")
+    tok = make_tokenizer(cfg.vocab_size)
+
+    outs = {}
+    for tp in (1, 2):
+        ecfg = EngineConfig(max_batch_size=3, paged_kv=True, kv_page_size=16,
+                            tp_size=tp)
+        eng = Engine(cfg, params, tok, ecfg)
+        eng.start()
+        try:
+            reqs = [Request(prompt=p, steps=6, temperature=0.0)
+                    for p in ("abc", "zq", "hello")]
+            for r in reqs:
+                eng.submit(r)
+            outs[tp] = [collect(r) for r in reqs]
+        finally:
+            eng.stop()
+    assert outs[1] == outs[2]
