@@ -393,9 +393,12 @@ def _forward_decode_fused(params: Params, cfg: ModelConfig, tokens: jax.Array,
     XLA otherwise materializes per layer (measured ~60% of step time at
     batch 8): the cache is a scan *carry* written by a row scatter, and
     attention reads the stacked cache in place via a layer-indexed Pallas
-    kernel instead of a sliced dense view.
+    kernel instead of a sliced dense view. Long caches (S > 512) use the
+    S-tiled ragged kernel: bounded VMEM and only the rows below the slot's
+    position are streamed.
     """
-    from rama_tpu.ops.pallas.decode_attention import decode_attention_layer
+    from rama_tpu.ops.pallas.decode_attention import (
+        decode_attention_layer, decode_attention_layer_tiled)
 
     b = tokens.shape[0]
     dtype = params["final_norm"].dtype
@@ -435,7 +438,10 @@ def _forward_decode_fused(params: Params, cfg: ModelConfig, tokens: jax.Array,
         k_c = k_c.at[l, bi, hi, pi].set(k[:, 0].astype(k_c.dtype))
         v_c = v_c.at[l, bi, hi, pi].set(v[:, 0].astype(v_c.dtype))
 
-        att = decode_attention_layer(q[:, 0], k_c, v_c, pos, l)
+        if k_c.shape[3] > 512:
+            att = decode_attention_layer_tiled(q[:, 0], k_c, v_c, pos, l)
+        else:
+            att = decode_attention_layer(q[:, 0], k_c, v_c, pos, l)
         attn_out = _linear_layered(att, params["wo"], l)
         if tp_axis is not None:
             attn_out = jax.lax.psum(attn_out, tp_axis)

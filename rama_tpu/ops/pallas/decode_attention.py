@@ -102,6 +102,112 @@ def _kernel_layered(sc_ref, q_ref, k_ref, v_ref, o_ref):
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
+def _kernel_tiled(sc_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
+                  *, c: int, nc: int):
+    """Online-softmax accumulation over S chunks (flash-style): scratch holds
+    the running max / normalizer / output; chunks past the slot's position
+    are skipped (their DMA is elided by the repeated block index)."""
+    b = pl.program_id(0)
+    p = pl.program_id(2)
+    pos = sc_ref[b]
+    last = jnp.minimum(pos // c, nc - 1)
+
+    @pl.when(p == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, -1e30)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    @pl.when(p <= last)
+    def _():
+        q = q_ref[0, 0]                    # (rep, hd)
+        k = k_ref[0, 0, 0]                 # (c, hd)
+        v = v_ref[0, 0, 0]
+        rep, hd = q.shape
+
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) / np.sqrt(hd)   # (rep, c)
+        g = p * c + jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+        scores = jnp.where(g <= pos, scores, -1e30)
+
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        e = jnp.exp(scores - m_new)
+        l_new = alpha * l_prev + jnp.sum(e, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[...] = alpha * acc_ref[...] + pv
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(p == nc - 1)
+    def _():
+        o_ref[0, 0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+def decode_attention_layer_tiled(q: jax.Array, k_full: jax.Array,
+                                 v_full: jax.Array, pos: jax.Array,
+                                 layer: jax.Array, *, chunk: int = 512,
+                                 interpret: bool = False) -> jax.Array:
+    """S-tiled ragged variant of decode_attention_layer.
+
+    The non-tiled kernel streams the full (S, hd) stripe per program — VMEM
+    residency scales with max_len (breaks past ~8-16K) and every decode step
+    reads all S positions even at pos=3. Here the sequence is processed in
+    `chunk`-row tiles with an online softmax; tiles past pos[b] repeat the
+    previous block index, so their DMA is elided and a slot at pos=130 reads
+    one 512-tile of a 16K cache. Preferred whenever S > chunk.
+    """
+    b, nh, hd = q.shape
+    nkv, s = k_full.shape[2], k_full.shape[3]
+    rep = nh // nkv
+    # largest 8-sublane-aligned divisor of S up to `chunk` (full S fallback)
+    c = max([d for d in range(8, min(chunk, s) + 1, 8) if s % d == 0],
+            default=s)
+    nc = s // c
+    qg = q.reshape(b, nkv, rep, hd)
+    scalars = jnp.concatenate([pos.astype(jnp.int32),
+                               layer.reshape(1).astype(jnp.int32)])
+
+    def kv_spec():
+        def idx(bi, j, p, sc):
+            last = jnp.minimum(sc[bi] // c, nc - 1)
+            return (sc[sc.shape[0] - 1], bi, j, jnp.minimum(p, last), 0)
+
+        return pl.BlockSpec((1, 1, 1, c, hd), idx)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nkv, nc),
+        in_specs=[
+            pl.BlockSpec((1, 1, rep, hd), lambda bi, j, p, sc: (bi, j, 0, 0)),
+            kv_spec(),
+            kv_spec(),
+        ],
+        out_specs=pl.BlockSpec((1, 1, rep, hd),
+                               lambda bi, j, p, sc: (bi, j, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((rep, hd), jnp.float32),
+            pltpu.VMEM((rep, 128), jnp.float32),
+            pltpu.VMEM((rep, 128), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        partial(_kernel_tiled, c=c, nc=nc),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nkv, rep, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(scalars, qg, k_full, v_full)
+    return out.reshape(b, nh * hd)
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                      pos: jax.Array, *, interpret: bool = False) -> jax.Array:

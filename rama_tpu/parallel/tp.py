@@ -115,16 +115,19 @@ def shard_params(params, mesh: Mesh):
                 raise ValueError(
                     f"{name}: int4 shard K={k_local} not a multiple of the "
                     f"2*gs={2 * p.group_size} packing block")
+    from rama_tpu.parallel.distributed import make_global
+
     specs = param_specs(params)
     return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+        lambda x, s: make_global(x, mesh, s), params, specs)
 
 
 def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
+    from rama_tpu.parallel.distributed import make_global
+
     spec = cache_spec()
-    return KVCache(
-        k=jax.device_put(cache.k, NamedSharding(mesh, spec.k)),
-        v=jax.device_put(cache.v, NamedSharding(mesh, spec.v)))
+    return KVCache(k=make_global(cache.k, mesh, spec.k),
+                   v=make_global(cache.v, mesh, spec.v))
 
 
 def make_decode_step(cfg: ModelConfig, mesh: Mesh, params_example):
@@ -204,12 +207,12 @@ def paged_cache_spec():
 
 
 def shard_paged_cache(cache, mesh: Mesh):
+    from rama_tpu.parallel.distributed import make_global
     from rama_tpu.runtime.paged import PagedKVCache
 
     spec = paged_cache_spec()
-    return PagedKVCache(
-        k=jax.device_put(cache.k, NamedSharding(mesh, spec.k)),
-        v=jax.device_put(cache.v, NamedSharding(mesh, spec.v)))
+    return PagedKVCache(k=make_global(cache.k, mesh, spec.k),
+                        v=make_global(cache.v, mesh, spec.v))
 
 
 def make_paged_decode_tick(cfg: ModelConfig, mesh: Mesh, params_example,

@@ -79,6 +79,12 @@ def _bucket(n: int, lo: int = 16) -> int:
     return b
 
 
+# Multi-host control ops, broadcast host-0 -> followers before each device
+# call (parallel.distributed.broadcast_step). Header: int64[4]
+# [op, arg0, arg1, arg2].
+_OP_TICK, _OP_PREFILL, _OP_RESET, _OP_STOP = 0, 1, 2, 3
+
+
 @partial(jax.jit, static_argnames=("cfg", "n"), donate_argnames=("cache",))
 def _decode_tick(params, cfg: ModelConfig, tokens, pos, temps, top_ps, key,
                  cache: KVCache, n: int = 1):
@@ -171,6 +177,12 @@ class Engine:
             from rama_tpu.parallel.tp import validate_tp
 
             validate_tp(cfg, self.tp)
+        # Multi-host: host 0 fronts scheduling/IO; every other process runs
+        # follow(), replaying the broadcast device-call sequence in lockstep.
+        self.multihost = jax.process_count() > 1
+        if self.multihost and self.tp <= 1:
+            raise ValueError("multi-host serving requires tp_size > 1 "
+                             "(a global mesh to shard over)")
         if "wqkv" in params:
             if self.tp > 1:
                 # fused column layout is tp-specific; a tp=1 fusion sharded
@@ -265,6 +277,54 @@ class Engine:
         self._wake.set()
         if self._thread:
             self._thread.join(timeout=30)
+        if self.multihost:
+            from rama_tpu.parallel.distributed import broadcast_step
+
+            broadcast_step([np.asarray([_OP_STOP, 0, 0, 0], np.int64)])
+
+    def follow(self):
+        """Run this process as a multi-host follower (host != 0): replay the
+        primary's device-call sequence from the broadcast protocol so every
+        process issues identical computations on identical global values.
+        Blocks until the primary broadcasts stop."""
+        from rama_tpu.parallel.distributed import broadcast_step
+
+        b = len(self.slots)
+        while True:
+            (header,) = broadcast_step([np.zeros(4, np.int64)])
+            op, a0, a1, a2 = (int(v) for v in header)
+            if op == _OP_STOP:
+                return
+            if op == _OP_RESET:
+                self._reset_cache()
+            elif op == _OP_TICK:
+                n = a0
+                tmpl = [np.zeros(b, np.int32), np.zeros(b, np.int32),
+                        np.zeros(b, np.float32), np.zeros(b, np.float32),
+                        np.zeros(2, np.uint32)]
+                if self.paged:
+                    tmpl.append(np.zeros_like(self.page_tables))
+                got = broadcast_step(tmpl)
+                tokens, pos, temps, tps, key = got[:5]
+                if self.paged:
+                    self.page_tables = got[5]
+                self._dev_tick(tokens, pos, temps, tps, jnp.asarray(key), n)
+            elif op == _OP_PREFILL:
+                t_pad, slot_idx, true_len = a0, a1, a2
+                tmpl = [np.zeros(t_pad, np.int32), np.zeros(2, np.float32),
+                        np.zeros(2, np.uint32)]
+                if self.paged:
+                    tmpl.append(np.zeros(self.pages_per_slot, np.int32))
+                got = broadcast_step(tmpl)
+                padded, st, key = got[:3]
+                row = got[3] if self.paged else None
+                if self.paged:
+                    self.page_tables[slot_idx] = row
+                self._dev_prefill_insert(padded, true_len, slot_idx,
+                                         float(st[0]), float(st[1]),
+                                         jnp.asarray(key), row)
+            else:
+                raise RuntimeError(f"unknown multihost op {op}")
 
     # -- device loop --------------------------------------------------------
 
@@ -291,26 +351,16 @@ class Engine:
                 req.queue.put(None)
 
     def _start_request(self, slot_idx: int, slot: _Slot, req: Request):
-        cfg = self.cfg
         ids = [BOS_ID] + req.prompt_ids
         t_pad = _bucket(len(ids))
+        t_ins = min(t_pad, self.max_len)
         padded = np.zeros(t_pad, np.int32)
         padded[: len(ids)] = ids
         self.key, sub = jax.random.split(self.key)
-        with self.phases.phase("prefill"):
-            if self.tp > 1:
-                first, k_new, v_new = self._prefill_tp(padded, len(ids), req, sub)
-            else:
-                first, k_new, v_new = _prefill(
-                    self.params, cfg, jnp.asarray(padded), jnp.int32(len(ids)),
-                    jnp.float32(req.temperature), jnp.float32(req.top_p), sub)
-            first = int(first)
-        # pad strip may exceed cache length for long prompts; crop positions
-        t_ins = min(t_pad, self.max_len)
-        k_new, v_new = k_new[:, :, :t_ins], v_new[:, :, :t_ins]
+        row = None
         if self.paged:
-            from rama_tpu.runtime.paged import insert_prefill_paged
-
+            # page bookkeeping happens before the (broadcast) device call so
+            # the follower payload carries the final page-table row
             if self.allocator.reserve(slot_idx, t_ins) < 0:
                 # out of KV pages: reject as an error, not a silent empty
                 # stream (the server turns req.error into an SSE error event)
@@ -319,27 +369,69 @@ class Engine:
                 return
             table = self.allocator.table(slot_idx)
             self.page_tables[slot_idx, : len(table)] = table
-            row = jnp.asarray(self.page_tables[slot_idx])
-            if self.tp > 1:
-                self.cache = self._tp_paged_insert(self.cache, k_new, v_new, row)
-            else:
-                self.cache = insert_prefill_paged(cfg, self.cache, k_new,
-                                                  v_new, row)
-        else:
-            self.cache = _insert(cfg, self.cache, k_new, v_new,
-                                 jnp.int32(slot_idx))
+            row = self.page_tables[slot_idx].copy()
+        if self.multihost:
+            from rama_tpu.parallel.distributed import broadcast_step
+
+            broadcast_step([np.asarray([_OP_PREFILL, t_pad, slot_idx,
+                                        len(ids)], np.int64)])
+            payload = [padded,
+                       np.asarray([req.temperature, req.top_p], np.float32),
+                       np.asarray(sub)]
+            if self.paged:
+                payload.append(row)
+            broadcast_step(payload)
+        with self.phases.phase("prefill"):
+            first = self._dev_prefill_insert(padded, len(ids), slot_idx,
+                                             req.temperature, req.top_p,
+                                             sub, row)
         slot.request = req
         slot.pos = len(ids)            # next decode position
         slot.generated = 0
-        slot.last_token = int(first)
+        slot.last_token = first
         if req.echo_prompt:
             # the reference stream re-emits prompt tokens while force-feeding
             # them (mod.rs:227-241); serving callers usually don't want that
             for t in req.prompt_ids:
                 req.queue.put(self.tokenizer.decode_token(t))
-        self._emit(slot, int(first))
+        self._emit(slot, first)
 
-    def _prefill_tp(self, padded, true_len, req: Request, key):
+    def _dev_prefill_insert(self, padded, true_len: int, slot_idx: int,
+                            temperature: float, top_p: float, key,
+                            row) -> int:
+        """The device-side half of request start: prefill + cache insert.
+
+        Executed identically on the primary and (replayed from the broadcast
+        payload) on every follower host, so the multi-host jit contract —
+        same computation sequence, same global values — holds.
+        """
+        cfg = self.cfg
+        if self.tp > 1:
+            first, k_new, v_new = self._prefill_tp(padded, true_len,
+                                                   temperature, top_p, key)
+        else:
+            first, k_new, v_new = _prefill(
+                self.params, cfg, jnp.asarray(padded), jnp.int32(true_len),
+                jnp.float32(temperature), jnp.float32(top_p), key)
+        # pad strip may exceed cache length for long prompts; crop positions
+        t_ins = min(padded.shape[0], self.max_len)
+        k_new, v_new = k_new[:, :, :t_ins], v_new[:, :, :t_ins]
+        if self.paged:
+            from rama_tpu.runtime.paged import insert_prefill_paged
+
+            rowj = jnp.asarray(row)
+            if self.tp > 1:
+                self.cache = self._tp_paged_insert(self.cache, k_new, v_new,
+                                                   rowj)
+            else:
+                self.cache = insert_prefill_paged(cfg, self.cache, k_new,
+                                                  v_new, rowj)
+        else:
+            self.cache = _insert(cfg, self.cache, k_new, v_new,
+                                 jnp.int32(slot_idx))
+        return int(first)
+
+    def _prefill_tp(self, padded, true_len, temperature, top_p, key):
         """Tensor-parallel prefill into a sharded scratch cache.
 
         Padded positions write to the scratch's last row (masked), same
@@ -358,8 +450,8 @@ class Engine:
         logits, scratch = self._tp_prefill(self.params,
                                            jnp.asarray(padded[None, :]), scratch)
         last = logits[0, true_len - 1][None, :]
-        first = sample_batched(last, key, jnp.float32(req.temperature)[None],
-                               jnp.float32(req.top_p)[None])[0]
+        first = sample_batched(last, key, jnp.float32(temperature)[None],
+                               jnp.float32(top_p)[None])[0]
         return first, scratch.k[:, 0], scratch.v[:, 0]
 
     def _emit(self, slot: _Slot, token: int):
@@ -405,6 +497,10 @@ class Engine:
                     if not s.free:
                         s.request.error = "engine error during decode"
                         self._finish(s)
+                if self.multihost:
+                    from rama_tpu.parallel.distributed import broadcast_step
+
+                    broadcast_step([np.asarray([_OP_RESET, 0, 0, 0], np.int64)])
                 self._reset_cache()
 
     def _reset_cache(self):
@@ -460,7 +556,6 @@ class Engine:
         remaining = min(s.request.steps - s.generated for s in active)
         while n > 1 and n // 2 >= remaining:
             n //= 2
-        t0 = time.time()
         if self.paged:
             # grow page tables to cover all n positions this tick writes;
             # a failed reserve finishes that request with an error
@@ -474,27 +569,46 @@ class Engine:
                     continue
                 table = self.allocator.table(i)
                 self.page_tables[i, : len(table)] = table
+        if self.multihost:
+            from rama_tpu.parallel.distributed import broadcast_step
+
+            broadcast_step([np.asarray([_OP_TICK, n, 0, 0], np.int64)])
+            payload = [tokens, pos, temps, tps, np.asarray(sub)]
+            if self.paged:
+                payload.append(self.page_tables.copy())
+            broadcast_step(payload)
+        t0 = time.time()
+        nxt = self._dev_tick(tokens, pos, temps, tps, sub, n)  # (n, B)
+        self.metrics["decode_ticks"] += 1
+        self.metrics["decode_s"] += time.time() - t0
+        self._emit_tick(nxt)
+
+    def _dev_tick(self, tokens, pos, temps, tps, key, n: int) -> np.ndarray:
+        """The device-side decode tick, executed identically on every host
+        (the follower replays it from the broadcast payload)."""
+        cfg = self.cfg
+        if self.paged:
             if self.tp > 1:
                 nxt, self.cache = self._tp_paged_tick(
                     self.params, jnp.asarray(tokens), jnp.asarray(pos),
-                    jnp.asarray(temps), jnp.asarray(tps), sub, self.cache,
+                    jnp.asarray(temps), jnp.asarray(tps), key, self.cache,
                     jnp.asarray(self.page_tables))
             else:
                 nxt, self.cache = _decode_tick_paged(
                     self.params, cfg, jnp.asarray(tokens), jnp.asarray(pos),
-                    jnp.asarray(temps), jnp.asarray(tps), sub, self.cache,
+                    jnp.asarray(temps), jnp.asarray(tps), key, self.cache,
                     jnp.asarray(self.page_tables), n)
         elif self.tp > 1:
             nxt, self.cache = self._tp_tick(
                 self.params, jnp.asarray(tokens), jnp.asarray(pos),
-                jnp.asarray(temps), jnp.asarray(tps), sub, self.cache)
+                jnp.asarray(temps), jnp.asarray(tps), key, self.cache)
         else:
             nxt, self.cache = _decode_tick(
                 self.params, cfg, jnp.asarray(tokens), jnp.asarray(pos),
-                jnp.asarray(temps), jnp.asarray(tps), sub, self.cache, n)
-        nxt = np.asarray(nxt)  # (n, B)
-        self.metrics["decode_ticks"] += 1
-        self.metrics["decode_s"] += time.time() - t0
+                jnp.asarray(temps), jnp.asarray(tps), key, self.cache, n)
+        return np.asarray(nxt)
+
+    def _emit_tick(self, nxt: np.ndarray):
         for i, s in enumerate(self.slots):
             if s.free:
                 continue

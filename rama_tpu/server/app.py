@@ -187,14 +187,28 @@ def main(argv=None):
                     help="tensor-parallel degree (weights + KV heads sharded "
                          "over the first tp devices)")
     ap.add_argument("--platform", default="auto", choices=["auto", "cpu", "tpu"])
+    ap.add_argument("--coordinator", default=None,
+                    help="multi-host: coordinator address (host0:port); every "
+                         "process of the pod slice runs this same command "
+                         "with --num-hosts/--host-id (or TPU env autodetect "
+                         "via RAMA_NUM_HOSTS)")
+    ap.add_argument("--num-hosts", type=int, default=None)
+    ap.add_argument("--host-id", type=int, default=None)
     args = ap.parse_args(argv)
 
     from rama_tpu.utils.platform import force_platform
 
     force_platform(args.platform)
+    from rama_tpu.parallel.distributed import init_distributed, is_primary
+
+    init_distributed(args.coordinator, args.num_hosts, args.host_id)
     engine = load_engine(args.model, args.tokenizer, args.quant, args.dtype,
                          args.batch, paged=args.paged, page_size=args.page_size,
                          tp=args.tp)
+    if not is_primary():
+        # follower host: no HTTP frontend; replay the primary's device calls
+        engine.follow()
+        return
     engine.start()
     app = build_app(engine, default_steps=args.steps)
     host, _, port = args.address.rpartition(":")

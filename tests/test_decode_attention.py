@@ -60,3 +60,29 @@ def test_pos_zero_attends_only_first():
     # softmax over a single visible position returns v[..., 0, :] per head
     expect = np.repeat(np.asarray(v[0, :, 0, :]), nh // nkv, axis=0).reshape(-1)
     np.testing.assert_allclose(got[0], expect, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("s,chunk", [
+    (1024, 512),  # 2 chunks
+    (96, 32),     # 3 chunks, small tiles
+    (64, 512),    # chunk > S -> single tile (degenerates to the flat kernel)
+])
+def test_decode_attention_layer_tiled_matches(s, chunk):
+    """S-tiled ragged kernel vs the einsum path: online softmax across
+    chunks, positions at chunk boundaries, early/late ragged slots."""
+    from rama_tpu.ops.pallas.decode_attention import decode_attention_layer_tiled
+
+    rng = np.random.default_rng(17)
+    b, nh, nkv, hd, L = 3, 4, 2, 128, 2
+    q = jnp.asarray(rng.standard_normal((b, nh, hd)), jnp.float32)
+    k_full = jnp.asarray(rng.standard_normal((L, b, nkv, s, hd)) * 0.3, jnp.float32)
+    v_full = jnp.asarray(rng.standard_normal((L, b, nkv, s, hd)) * 0.3, jnp.float32)
+    # one slot near the start, one exactly at a chunk boundary, one at the end
+    pos = jnp.asarray([3, min(chunk, s) - 1, s - 1], jnp.int32)
+    for layer in range(L):
+        got = decode_attention_layer_tiled(q, k_full, v_full, pos,
+                                           jnp.int32(layer), chunk=chunk,
+                                           interpret=True)
+        want = np.asarray(xla_reference(q, k_full[layer], v_full[layer], pos))
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4,
+                                   atol=2e-4, err_msg=f"layer {layer}")
