@@ -93,6 +93,43 @@ def correctness_gate(params, cfg):
     check("decode_attention_layer",
           decode_attention_layer(q, k_c, v_c, pos, jnp.int32(1)), want_att)
 
+    # fused FFN (one pallas_call for silu(x@W1)*(x@W3) @ W2) vs unfused XLA
+    from rama_tpu.models.llama import _ffn_one_call_ok
+    from rama_tpu.ops.pallas.ffn import ffn_fused_layered
+
+    w13, w2 = params["w13"], params["w2"]
+    if _ffn_one_call_ok(w13, w2, 8):
+        x8 = jax.random.normal(kx, (8, cfg.dim), jnp.bfloat16)
+        w13_l = QuantizedTensor(q=w13.q[l], scales=w13.scales[l],
+                                group_size=w13.group_size, bits=w13.bits)
+        w2_l = QuantizedTensor(q=w2.q[l], scales=w2.scales[l],
+                               group_size=w2.group_size, bits=w2.bits)
+        h13 = matmul_xla(x8, w13_l).astype(jnp.float32)
+        h1, h3 = jnp.split(h13, 2, axis=-1)
+        want_ffn = matmul_xla(
+            (jax.nn.silu(h1) * h3).astype(jnp.bfloat16), w2_l)
+        check("ffn_fused_layered",
+              ffn_fused_layered(x8, w13, w2, jnp.int32(l)), want_ffn)
+    else:
+        log("[gate] ffn_fused_layered: SKIPPED (untileable shapes)")
+
+    # flash prefill attention vs the XLA einsum path at a 2K prompt
+    from rama_tpu.ops.pallas.prefill_attention import prefill_attention
+
+    T = 256
+    qp_ = jax.random.normal(kq, (B, T, nh, hd), jnp.bfloat16)
+    plen = jnp.array([T, T - 57], jnp.int32)
+    maskp = ((jnp.arange(S)[None, None, :] <= jnp.arange(T)[None, :, None])
+             & (jnp.arange(S)[None, None, :] < plen[:, None, None]))
+    want_pre = _attention(qp_, k_c[1], v_c[1], maskp)
+    got_pre = prefill_attention(qp_, k_c[1], v_c[1], plen).reshape(B, T, -1)
+    # rows past plen are zeros in the kernel, garbage-softmax in XLA: compare
+    # only valid rows
+    row_ok = jnp.arange(T)[None, :] < plen[:, None]
+    check("prefill_attention",
+          jnp.where(row_ok[..., None], got_pre, 0),
+          jnp.where(row_ok[..., None], want_pre, 0))
+
 
 def main():
     import jax

@@ -46,6 +46,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run the generation once untimed first, so the timed "
                         "run excludes jit compilation (the reference's CUDA "
                         "kernels NVRTC-compile at startup, outside its timer)")
+    g.add_argument("--spec", default="off", choices=["off", "ngram", "draft"],
+                   help="speculative decoding: 'ngram' drafts by prompt "
+                        "lookup, 'draft' uses a small draft model "
+                        "(--draft-model); output is identical to sequential "
+                        "decoding, only faster")
+    g.add_argument("--spec-k", type=int, default=8,
+                   help="speculation chunk size (1 current + k-1 drafted)")
+    g.add_argument("--draft-model", default=None,
+                   help=".bin checkpoint for --spec draft")
 
     e = sub.add_parser("export", help="convert checkpoints between formats")
     e.add_argument("input", help=".bin file, HF model path, llama2.c .pt, or "
@@ -109,17 +118,46 @@ def cmd_generate(args) -> int:
     params = fuse_params(params, cfg)
     tokenizer = Tokenizer.from_file(args.tokenizer, cfg.vocab_size)
 
+    stats = None
+    if args.spec != "off":
+        from rama_tpu.runtime.speculative import generate_text_speculative
+
+        draft = None
+        if args.spec == "draft":
+            if not args.draft_model:
+                print("--spec draft requires --draft-model", file=sys.stderr)
+                return 2
+            dcfg, dnp = load_checkpoint(args.draft_model)
+            draft = (fuse_params(load_params(dcfg, dnp, dtype=dtype), dcfg),
+                     dcfg)
+
+        def run():
+            return generate_text_speculative(
+                params, cfg, tokenizer, args.prompt, steps=args.step,
+                temperature=args.temperature, top_p=args.topp,
+                seed=args.seed, cache_dtype=dtype, k=args.spec_k,
+                draft=draft)
+    else:
+        def run():
+            return generate_text(
+                params, cfg, tokenizer, args.prompt, steps=args.step,
+                temperature=args.temperature, top_p=args.topp,
+                seed=args.seed, cache_dtype=dtype, fast=not args.parity)
+
     if args.warmup:
-        generate_text(params, cfg, tokenizer, args.prompt, steps=args.step,
-                      temperature=args.temperature, top_p=args.topp,
-                      seed=args.seed, cache_dtype=dtype, fast=not args.parity)
+        run()
 
     t0 = time.time()
-    text, ids = generate_text(params, cfg, tokenizer, args.prompt,
-                              steps=args.step, temperature=args.temperature,
-                              top_p=args.topp, seed=args.seed,
-                              cache_dtype=dtype, fast=not args.parity)
+    out = run()
     elapsed = time.time() - t0
+    if args.spec != "off":
+        text, ids, stats = out
+        print(f"[spec] rounds={stats['rounds']} "
+              f"accepted={stats['accepted_drafts']} "
+              f"tokens/round={stats['tokens_per_round']:.2f}",
+              file=sys.stderr)
+    else:
+        text, ids = out
     print(text)
     steps = len(ids)
     print(f"\n{steps} tokens in {elapsed:.2f}s: {(steps - 1) / elapsed:.2f} tok/s",

@@ -101,6 +101,14 @@ def _kernel_tileable(w: QuantizedTensor) -> bool:
     return k % max(w.group_size, 32) == 0
 
 
+def _ffn_one_call_ok(w13, w2, batch: int) -> bool:
+    """Whether the whole-FFN fused kernel (ops/pallas/ffn.py) applies: both
+    weights quantized the same way and tileable with VMEM headroom."""
+    from rama_tpu.ops.pallas.ffn import ffn_tileable
+
+    return ffn_tileable(w13, w2, max_m=max(batch, 8))
+
+
 def _embed(tok_embedding, tokens: jax.Array, dtype) -> jax.Array:
     if isinstance(tok_embedding, QuantizedEmbedding):
         return tok_embedding.lookup(tokens, dtype=dtype)
@@ -312,7 +320,7 @@ def _attention(q, k_cache, v_cache, pos_mask):
 
 
 def _layer(x, lp, k_cache, v_cache, cos, sin, pos_index, pos_mask,
-           cfg: ModelConfig, tp_axis: str | None = None):
+           cfg: ModelConfig, tp_axis: str | None = None, plen=None):
     """One transformer block over a (B, T) chunk against (B, S) caches.
 
     Returns (x_out, new_k_cache, new_v_cache). Cache write happens at
@@ -353,12 +361,21 @@ def _layer(x, lp, k_cache, v_cache, cos, sin, pos_index, pos_mask,
     k_cache = k_cache.at[bi, hi, pi].set(k.astype(k_cache.dtype))
     v_cache = v_cache.at[bi, hi, pi].set(v.astype(v_cache.dtype))
 
+    from rama_tpu.ops.pallas.prefill_attention import (
+        prefill_attention, prefill_attention_supported)
+
     if t == 1 and jax.default_backend() == "tpu" and _decode_attn_supported(
             nh, nkv, hd, k_cache.shape[2]):
         from rama_tpu.ops.pallas.decode_attention import decode_attention
 
         att = decode_attention(q[:, 0], k_cache, v_cache,
                                pos_index[:, 0])[:, None, :]
+    elif (t > 1 and plen is not None and jax.default_backend() == "tpu"
+          and prefill_attention_supported(t, k_cache.shape[2], hd, nh, nkv)):
+        # flash-style prefill: tiles above the causal diagonal are neither
+        # read nor computed; the (T, S) score matrix never materializes
+        att = prefill_attention(q, k_cache, v_cache,
+                                plen).reshape(b, t, nh * hd)
     else:
         att = _attention(q, k_cache, v_cache, pos_mask)
     attn_out = _linear(att, lp["wo"])
@@ -408,6 +425,12 @@ def _forward_decode_fused(params: Params, cfg: ModelConfig, tokens: jax.Array,
     pos = pos_index[:, 0]                                        # (B,)
     hd = cfg.head_dim
     fused = "wqkv" in params
+    ffn_one_call = (
+        fused
+        and jax.default_backend() == "tpu"
+        and isinstance(params.get("w13"), QuantizedTensor)
+        and _ffn_one_call_ok(params["w13"], params["w2"], b)
+    )
 
     def body(carry, l):
         x, k_c, v_c = carry
@@ -448,13 +471,20 @@ def _forward_decode_fused(params: Params, cfg: ModelConfig, tokens: jax.Array,
         x = x + attn_out[:, None]
 
         xb = rmsnorm(x, jnp.take(params["ffn_norm"], l, axis=0), cfg.norm_eps)
-        if fused:
-            h13 = _linear_layered(xb, params["w13"], l)
-            h1, h3 = jnp.split(h13, 2, axis=-1)
+        if ffn_one_call:
+            from rama_tpu.ops.pallas.ffn import ffn_fused_layered
+
+            ffn_out = ffn_fused_layered(
+                xb.reshape(b, -1), params["w13"], params["w2"], l
+            ).reshape(xb.shape[0], xb.shape[1], -1)
         else:
-            h1 = _linear_layered(xb, params["w1"], l)
-            h3 = _linear_layered(xb, params["w3"], l)
-        ffn_out = _linear_layered(jax.nn.silu(h1) * h3, params["w2"], l)
+            if fused:
+                h13 = _linear_layered(xb, params["w13"], l)
+                h1, h3 = jnp.split(h13, 2, axis=-1)
+            else:
+                h1 = _linear_layered(xb, params["w1"], l)
+                h3 = _linear_layered(xb, params["w3"], l)
+            ffn_out = _linear_layered(jax.nn.silu(h1) * h3, params["w2"], l)
         if tp_axis is not None:
             ffn_out = jax.lax.psum(ffn_out, tp_axis)
         x = x + ffn_out
@@ -473,12 +503,18 @@ def _forward_decode_fused(params: Params, cfg: ModelConfig, tokens: jax.Array,
 
 
 def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
-            pos_index: jax.Array, cache: KVCache, tp_axis: str | None = None):
+            pos_index: jax.Array, cache: KVCache, tp_axis: str | None = None,
+            plen: jax.Array | None = None):
     """Forward a (B, T) token chunk at per-slot positions (B, T).
 
     Causal over the cache: position s of slot b is visible to query t iff
     s <= pos_index[b, t]. Returns (logits (B, T, V) fp32, new KVCache).
     Used with T=prompt_len for prefill and T=1 for decode.
+
+    `plen` (B,) int32, prefill-only: promises this is a from-position-0
+    causal prompt of per-slot length plen[b] (query t at position t, rows
+    >= plen[b] padding). Enables the flash-style Pallas prefill kernel on
+    TPU; numerics match the masked XLA path either way.
 
     With `tp_axis` set (inside shard_map), params/cache are the local TP
     shards; the returned logits are the full vocab (all-gathered).
@@ -503,7 +539,7 @@ def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
     def body(x, xs):
         lp, k_c, v_c = xs
         x, k_c, v_c = _layer(x, lp, k_c, v_c, cos, sin, pos_index, pos_mask,
-                             cfg, tp_axis)
+                             cfg, tp_axis, plen)
         return x, (k_c, v_c)
 
     x, (k_new, v_new) = jax.lax.scan(body, x, (layer_params, cache.k, cache.v))
@@ -521,7 +557,8 @@ def prefill(params: Params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache)
     """Process a whole (B, T) prompt in one batched pass from position 0."""
     b, t = tokens.shape
     pos = jnp.arange(t)[None, :].repeat(b, 0)
-    return forward(params, cfg, tokens, pos, cache)
+    return forward(params, cfg, tokens, pos, cache,
+                   plen=jnp.full((b,), t, jnp.int32))
 
 
 def decode_step(params: Params, cfg: ModelConfig, token: jax.Array,

@@ -1,0 +1,184 @@
+"""Fused SwiGLU FFN Pallas kernel: (silu(x@W1) * (x@W3)) @ W2 in ONE dispatch.
+
+The decode step is HBM-bound and pays a fixed kernel-boundary cost per op
+(profiled ~23 us at batch 1); the reference pays the same shape of cost as
+three separate cuBLAS/CUDA launches per FFN (engine/src/device/gpu.rs:175-189
+issues w1, w3, w2 as independent matmuls with host-side silu glue). Here the
+whole FFN is one pallas_call over stacked per-layer quantized weights:
+
+  phase A (steps 0..nh-1):  h[:, j*bh:(j+1)*bh] = silu(x@W1_j) * (x@W3_j)
+                            with the hidden activation resident in VMEM
+                            scratch -- never written to HBM;
+  phase B (steps nh..nh+nn-1): out[:, t] = h @ W2[:, t], contracting the
+                            full hidden dim from scratch.
+
+Weight blocks are selected by scalar-prefetched index maps (layer straight
+from HBM, no per-layer copy); phase-A blocks repeat their last index during
+phase B (and vice versa), so their DMAs are elided and every weight byte is
+streamed exactly once per step.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rama_tpu.ops.quant import QuantizedTensor
+
+
+def _dequant8(w8, scales, gs: int):
+    """(K, N) int8 + (K//gs, N) f32 -> (K, N) bf16 in VMEM."""
+    k, n = w8.shape
+    return (w8.astype(jnp.float32).reshape(k // gs, gs, n)
+            * scales[:, None, :]).reshape(k, n).astype(jnp.bfloat16)
+
+
+def _dequant4(packed, scales, gs: int):
+    """Block-local packed int4 (K//2, N) + (K//gs, N) f32 -> (K, N) bf16.
+
+    Byte row j of block b holds logical rows (2b*gs + j) [low nibble] and
+    (2b*gs + gs + j) [high nibble] -- same packing as ops.quant.quantize_int4.
+    Mosaic can't legalize shifts on int8 vectors; unpack in int32.
+    """
+    p32 = packed.astype(jnp.int32)
+    k2, n = p32.shape
+    nb = k2 // gs
+    lo = ((p32 << 28) >> 28).astype(jnp.float32)
+    hi = (p32 >> 4).astype(jnp.float32)
+    w = jnp.concatenate(
+        [lo.reshape(nb, 1, gs, n), hi.reshape(nb, 1, gs, n)], axis=1)
+    s = scales.reshape(nb, 2, 1, n)
+    return (w * s).reshape(k2 * 2, n).astype(jnp.bfloat16)
+
+
+def _kernel(l_ref, x_ref, q1_ref, s1_ref, q3_ref, s3_ref, q2_ref, s2_ref,
+            o_ref, h_ref, *, gs13: int, gs2: int, nh: int, nn: int, bh: int,
+            bits: int, out_dtype):
+    p = pl.program_id(0)
+    dequant = _dequant8 if bits == 8 else _dequant4
+    kpack = 1 if bits == 8 else 2
+
+    @pl.when(p < nh)
+    def _():
+        x = x_ref[...].astype(jnp.bfloat16)             # (M, K)
+        a = jnp.dot(x, dequant(q1_ref[0], s1_ref[0], gs13),
+                    preferred_element_type=jnp.float32)  # (M, bh)
+        c = jnp.dot(x, dequant(q3_ref[0], s3_ref[0], gs13),
+                    preferred_element_type=jnp.float32)
+        h_ref[p] = (a * jax.lax.logistic(a) * c).astype(jnp.bfloat16)
+
+    @pl.when(p >= nh)
+    def _():
+        acc = jnp.zeros(o_ref.shape, jnp.float32)
+        # static unroll over the hidden tiles resident in scratch: static
+        # slice offsets keep Mosaic's sublane alignment rules trivially met
+        for j in range(nh):
+            w2j = dequant(q2_ref[0, j * (bh // kpack):(j + 1) * (bh // kpack)],
+                          s2_ref[0, j * (bh // gs2):(j + 1) * (bh // gs2)], gs2)
+            acc += jnp.dot(h_ref[j], w2j, preferred_element_type=jnp.float32)
+        o_ref[...] = acc.astype(out_dtype)
+
+
+def _pick_tile(dim: int, target: int, multiple: int) -> int | None:
+    best = None
+    b = multiple
+    while b <= min(dim, target):
+        if dim % b == 0:
+            best = b
+        b += multiple
+    return best
+
+
+def ffn_tileable(w13: QuantizedTensor, w2: QuantizedTensor,
+                 max_m: int = 64) -> bool:
+    """Whether the fused kernel supports these stacked (L, K, 2H)/(L, H, N)
+    quantized weights (tiles exist, packing blocks align, VMEM fits)."""
+    if not (isinstance(w13, QuantizedTensor) and isinstance(w2, QuantizedTensor)):
+        return False
+    if w13.bits != w2.bits:
+        return False
+    h2, n = w13.shape[-1], w2.shape[-1]
+    k, h = w13.shape[-2], w2.shape[-2]
+    if h2 != 2 * h:
+        return False
+    gs13, gs2 = w13.group_size, w2.group_size
+    mult = 2 * gs2 if w13.bits == 4 else gs2
+    bh = _pick_tile(h, 256, int(np.lcm(mult, 128)))
+    bn = _pick_tile(n, 256, 128)
+    if bh is None or bn is None:
+        return False
+    if k % gs13 or h % gs2:
+        return False
+    # VMEM: double-buffered weight blocks + h scratch + x, under ~12 MB
+    wbytes = 1 if w13.bits == 8 else 0.5
+    vmem = (4 * k * bh * wbytes            # q1 + q3, double buffered
+            + 2 * h * bn * wbytes          # q2, double buffered
+            + 4 * (k // gs13) * bh * 4 + 2 * (h // gs2) * bn * 4
+            + (h // bh) * max(16, max_m) * bh * 2
+            + max_m * k * 2)
+    return vmem < 12 * 1024 * 1024
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def ffn_fused_layered(x: jax.Array, w13: QuantizedTensor, w2: QuantizedTensor,
+                      layer: jax.Array, *, interpret: bool = False) -> jax.Array:
+    """x (M, K) -> (silu(x@W1[l]) * (x@W3[l])) @ W2[l], one pallas_call.
+
+    w13: stacked fused up-projection (L, K, 2H), columns [W1 | W3] (the
+    tp-shard-local layout fuse_params produces); w2: (L, H, N).
+    """
+    m, k = x.shape
+    h = w2.shape[-2]
+    n = w2.shape[-1]
+    gs13, gs2 = w13.group_size, w2.group_size
+    bits = w13.bits
+    kpack = 1 if bits == 8 else 2
+    mult = 2 * gs2 if bits == 4 else gs2
+    bh = _pick_tile(h, 256, int(np.lcm(mult, 128)))
+    assert bh is not None, \
+        "ffn_fused_layered called on untileable shapes (use ffn_tileable)"
+    bn = _pick_tile(n, 256, 128)
+    nh, nn = h // bh, n // bn    # w13 column blocks: W3 starts at block nh
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nh + nn,),
+        in_specs=[
+            pl.BlockSpec((m, k), lambda p, sc: (0, 0)),
+            pl.BlockSpec((1, k // kpack, bh),
+                         lambda p, sc: (sc[0], 0, jnp.minimum(p, nh - 1))),
+            pl.BlockSpec((1, k // gs13, bh),
+                         lambda p, sc: (sc[0], 0, jnp.minimum(p, nh - 1))),
+            pl.BlockSpec((1, k // kpack, bh),
+                         lambda p, sc: (sc[0], 0,
+                                        nh + jnp.minimum(p, nh - 1))),
+            pl.BlockSpec((1, k // gs13, bh),
+                         lambda p, sc: (sc[0], 0,
+                                        nh + jnp.minimum(p, nh - 1))),
+            pl.BlockSpec((1, h // kpack, bn),
+                         lambda p, sc: (sc[0], 0,
+                                        jnp.clip(p - nh, 0, nn - 1))),
+            pl.BlockSpec((1, h // gs2, bn),
+                         lambda p, sc: (sc[0], 0,
+                                        jnp.clip(p - nh, 0, nn - 1))),
+        ],
+        out_specs=pl.BlockSpec((m, bn),
+                               lambda p, sc: (0, jnp.maximum(p - nh, 0))),
+        scratch_shapes=[pltpu.VMEM((nh, m, bh), jnp.bfloat16)],
+    )
+    return pl.pallas_call(
+        partial(_kernel, gs13=gs13, gs2=gs2, nh=nh, nn=nn, bh=bh, bits=bits,
+                out_dtype=x.dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(layer.reshape(1).astype(jnp.int32), x, w13.q, w13.scales, w13.q,
+      w13.scales, w2.q, w2.scales)

@@ -288,7 +288,8 @@ def make_prefill(cfg: ModelConfig, mesh: Mesh, params_example):
     def inner(params, tokens, cache):
         b, t = tokens.shape
         pos = jnp.arange(t)[None, :].repeat(b, 0)
-        return forward(params, cfg, tokens, pos, cache, tp_axis=MODEL_AXIS)
+        return forward(params, cfg, tokens, pos, cache, tp_axis=MODEL_AXIS,
+                       plen=jnp.full((b,), t, jnp.int32))
 
     mapped = jax.shard_map(
         inner, mesh=mesh,

@@ -138,7 +138,9 @@ def _prefill(params, cfg: ModelConfig, tokens_padded, true_len, temp, top_p, key
     scratch = KVCache.create(cfg, batch=1, max_len=t_pad)
     idx = jnp.arange(t_pad)
     pos_index = jnp.where(idx < true_len, idx, t_pad - 1)[None, :]
-    logits, scratch = forward(params, cfg, tokens_padded[None, :], pos_index, scratch)
+    logits, scratch = forward(params, cfg, tokens_padded[None, :], pos_index,
+                              scratch,
+                              plen=jnp.asarray(true_len, jnp.int32)[None])
     last = logits[0, true_len - 1][None, :]
     first = sample_batched(last, key, temp[None], top_p[None])[0]
     return first, scratch.k[:, 0], scratch.v[:, 0]
