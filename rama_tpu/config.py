@@ -91,6 +91,9 @@ class EngineConfig:
     dtype: str = "bfloat16"  # activation / weight compute dtype
     quant: str | None = None  # None | "int8" | "int4" (weight-only group quant)
     quant_group_size: int = 64
+    # KV-cache quantization: None | "int8" (per-token-per-head absmax; halves
+    # cache HBM traffic and doubles slot capacity). Dense slots only.
+    kv_quant: str | None = None
 
     # Parallelism knobs.
     tp_size: int = 1

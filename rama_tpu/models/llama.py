@@ -141,6 +141,68 @@ class KVCache:
         return self.k.shape[3]
 
 
+@jax.tree_util.register_dataclass
+@dataclass
+class QuantKVCache:
+    """INT8 KV cache: k/v int8 (L, B, n_kv, S, hd); ks/vs fp32 per-row
+    scales (L, B, n_kv, S) — per-(token, head) absmax quantization.
+
+    Halves cache HBM traffic (the dominant cost of batched decode once
+    weights are quantized) and doubles capacity vs bf16. Scales ride
+    separately so attention dequantizes AFTER the matmuls: QK^T scales per
+    score column, probs·V scales per probability column — O(S) multiplies
+    instead of O(S*hd). The reference has no KV quantization (its caches
+    are f32, state.rs:14-15); this is a beyond-parity capability.
+    """
+
+    k: jax.Array
+    v: jax.Array
+    ks: jax.Array
+    vs: jax.Array
+
+    @staticmethod
+    def create(cfg: ModelConfig, batch: int,
+               max_len: int | None = None) -> "QuantKVCache":
+        s = max_len or cfg.seq_len
+        shape = (cfg.n_layers, batch, cfg.n_kv_heads, s, cfg.head_dim)
+        return QuantKVCache(k=jnp.zeros(shape, jnp.int8),
+                            v=jnp.zeros(shape, jnp.int8),
+                            ks=jnp.zeros(shape[:-1], jnp.float32),
+                            vs=jnp.zeros(shape[:-1], jnp.float32))
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[3]
+
+
+def kv_quant_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(..., hd) float -> (int8 rows, fp32 absmax/127 scales (...,))."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / 127.0, 1e-10)
+    q = jnp.round(xf / scale[..., None]).astype(jnp.int8)
+    return q, scale
+
+
+def _cache_arrays(cache) -> tuple:
+    """Scan-able leaf tuple for either cache flavor (layer axis leading)."""
+    if isinstance(cache, QuantKVCache):
+        return (cache.k, cache.v, cache.ks, cache.vs)
+    return (cache.k, cache.v)
+
+
+def _cache_rebuild(cache, arrays: tuple):
+    if isinstance(cache, QuantKVCache):
+        return QuantKVCache(*arrays)
+    return KVCache(*arrays)
+
+
+def _dequant_kv(k8, v8, ks, vs, dtype=jnp.bfloat16):
+    """Per-layer dense dequantization for the XLA (non-Pallas) paths."""
+    k = (k8.astype(jnp.float32) * ks[..., None]).astype(dtype)
+    v = (v8.astype(jnp.float32) * vs[..., None]).astype(dtype)
+    return k, v
+
+
 def load_params(cfg: ModelConfig, np_params: dict, dtype=jnp.bfloat16) -> Params:
     """numpy canonical params -> device pytree + precomputed RoPE tables."""
     p = {k: jnp.asarray(v, dtype=dtype) for k, v in np_params.items()}
@@ -319,12 +381,14 @@ def _attention(q, k_cache, v_cache, pos_mask):
     return out.reshape(b, t, nh * hd).astype(q.dtype)
 
 
-def _layer(x, lp, k_cache, v_cache, cos, sin, pos_index, pos_mask,
+def _layer(x, lp, cv, cos, sin, pos_index, pos_mask,
            cfg: ModelConfig, tp_axis: str | None = None, plen=None):
     """One transformer block over a (B, T) chunk against (B, S) caches.
 
-    Returns (x_out, new_k_cache, new_v_cache). Cache write happens at
-    positions `pos_index` (B, T) via a scatter, supporting ragged decode.
+    `cv` is the per-layer cache leaf tuple: (k, v) dense bf16 or
+    (k, v, ks, vs) int8+scales (see QuantKVCache). Returns (x_out, new_cv).
+    Cache write happens at positions `pos_index` (B, T) via a scatter
+    (quantizing the rows first in int8 mode), supporting ragged decode.
 
     Under tensor parallelism (inside shard_map with `tp_axis` set), wq/wk/wv/
     w1/w3 are column-sharded and wo/w2 row-sharded (Megatron layout): x stays
@@ -333,6 +397,7 @@ def _layer(x, lp, k_cache, v_cache, cos, sin, pos_index, pos_mask,
     """
     b, t, _ = x.shape
     hd = cfg.head_dim
+    kv_quant = len(cv) == 4
 
     xb = rmsnorm(x, lp["attn_norm"], cfg.norm_eps)
     if "wqkv" in lp:
@@ -358,19 +423,41 @@ def _layer(x, lp, k_cache, v_cache, cos, sin, pos_index, pos_mask,
     bi = jnp.arange(b)[:, None, None]                # (B, 1, 1)
     hi = jnp.arange(nkv)[None, None, :]              # (1, 1, nkv)
     pi = pos_index[:, :, None]                       # (B, T, 1)
-    k_cache = k_cache.at[bi, hi, pi].set(k.astype(k_cache.dtype))
-    v_cache = v_cache.at[bi, hi, pi].set(v.astype(v_cache.dtype))
+    if kv_quant:
+        k_cache, v_cache, ks_c, vs_c = cv
+        kq, ksc = kv_quant_rows(k)                   # (B,T,nkv,hd),(B,T,nkv)
+        vq, vsc = kv_quant_rows(v)
+        k_cache = k_cache.at[bi, hi, pi].set(kq)
+        v_cache = v_cache.at[bi, hi, pi].set(vq)
+        ks_c = ks_c.at[bi, hi, pi].set(ksc)
+        vs_c = vs_c.at[bi, hi, pi].set(vsc)
+        cv = (k_cache, v_cache, ks_c, vs_c)
+    else:
+        k_cache, v_cache = cv
+        k_cache = k_cache.at[bi, hi, pi].set(k.astype(k_cache.dtype))
+        v_cache = v_cache.at[bi, hi, pi].set(v.astype(v_cache.dtype))
+        cv = (k_cache, v_cache)
 
     from rama_tpu.ops.pallas.prefill_attention import (
         prefill_attention, prefill_attention_supported)
 
-    if t == 1 and jax.default_backend() == "tpu" and _decode_attn_supported(
+    on_tpu = jax.default_backend() == "tpu"
+    if kv_quant and t == 1 and on_tpu and _decode_attn_supported(
+            nh, nkv, hd, k_cache.shape[2]):
+        from rama_tpu.ops.pallas.decode_attention import decode_attention_q8
+
+        att = decode_attention_q8(q[:, 0], k_cache, v_cache, ks_c, vs_c,
+                                  pos_index[:, 0])[:, None, :]
+    elif kv_quant:
+        kd, vd = _dequant_kv(k_cache, v_cache, ks_c, vs_c, q.dtype)
+        att = _attention(q, kd, vd, pos_mask)
+    elif t == 1 and on_tpu and _decode_attn_supported(
             nh, nkv, hd, k_cache.shape[2]):
         from rama_tpu.ops.pallas.decode_attention import decode_attention
 
         att = decode_attention(q[:, 0], k_cache, v_cache,
                                pos_index[:, 0])[:, None, :]
-    elif (t > 1 and plen is not None and jax.default_backend() == "tpu"
+    elif (t > 1 and plen is not None and on_tpu
           and prefill_attention_supported(t, k_cache.shape[2], hd, nh, nkv)):
         # flash-style prefill: tiles above the causal diagonal are neither
         # read nor computed; the (T, S) score matrix never materializes
@@ -394,7 +481,7 @@ def _layer(x, lp, k_cache, v_cache, cos, sin, pos_index, pos_mask,
     if tp_axis is not None:
         ffn_out = jax.lax.psum(ffn_out, tp_axis)
     x = x + ffn_out
-    return x, k_cache, v_cache
+    return x, cv
 
 
 _LAYER_KEYS = ("attn_norm", "wq", "wk", "wv", "wqkv", "wo", "ffn_norm",
@@ -415,7 +502,8 @@ def _forward_decode_fused(params: Params, cfg: ModelConfig, tokens: jax.Array,
     position are streamed.
     """
     from rama_tpu.ops.pallas.decode_attention import (
-        decode_attention_layer, decode_attention_layer_tiled)
+        decode_attention_layer, decode_attention_layer_q8,
+        decode_attention_layer_tiled, decode_attention_layer_tiled_q8)
 
     b = tokens.shape[0]
     dtype = params["final_norm"].dtype
@@ -432,8 +520,11 @@ def _forward_decode_fused(params: Params, cfg: ModelConfig, tokens: jax.Array,
         and _ffn_one_call_ok(params["w13"], params["w2"], b)
     )
 
+    kv_quant = isinstance(cache, QuantKVCache)
+
     def body(carry, l):
-        x, k_c, v_c = carry
+        x, *cv = carry
+        k_c, v_c = cv[0], cv[1]
         nkv_local = k_c.shape[2]
 
         xb = rmsnorm(x, jnp.take(params["attn_norm"], l, axis=0), cfg.norm_eps)
@@ -458,13 +549,29 @@ def _forward_decode_fused(params: Params, cfg: ModelConfig, tokens: jax.Array,
         bi = jnp.arange(b)[:, None]
         hi = jnp.arange(nkv_local)[None, :]
         pi = pos[:, None]
-        k_c = k_c.at[l, bi, hi, pi].set(k[:, 0].astype(k_c.dtype))
-        v_c = v_c.at[l, bi, hi, pi].set(v[:, 0].astype(v_c.dtype))
-
-        if k_c.shape[3] > 512:
-            att = decode_attention_layer_tiled(q[:, 0], k_c, v_c, pos, l)
+        if kv_quant:
+            ks_c, vs_c = cv[2], cv[3]
+            kq, ksc = kv_quant_rows(k[:, 0])     # (B,nkv,hd), (B,nkv)
+            vq, vsc = kv_quant_rows(v[:, 0])
+            k_c = k_c.at[l, bi, hi, pi].set(kq)
+            v_c = v_c.at[l, bi, hi, pi].set(vq)
+            ks_c = ks_c.at[l, bi, hi, pi].set(ksc)
+            vs_c = vs_c.at[l, bi, hi, pi].set(vsc)
+            cv = (k_c, v_c, ks_c, vs_c)
+            if k_c.shape[3] > 512:
+                att = decode_attention_layer_tiled_q8(
+                    q[:, 0], k_c, v_c, ks_c, vs_c, pos, l)
+            else:
+                att = decode_attention_layer_q8(
+                    q[:, 0], k_c, v_c, ks_c, vs_c, pos, l)
         else:
-            att = decode_attention_layer(q[:, 0], k_c, v_c, pos, l)
+            k_c = k_c.at[l, bi, hi, pi].set(k[:, 0].astype(k_c.dtype))
+            v_c = v_c.at[l, bi, hi, pi].set(v[:, 0].astype(v_c.dtype))
+            cv = (k_c, v_c)
+            if k_c.shape[3] > 512:
+                att = decode_attention_layer_tiled(q[:, 0], k_c, v_c, pos, l)
+            else:
+                att = decode_attention_layer(q[:, 0], k_c, v_c, pos, l)
         attn_out = _linear_layered(att, params["wo"], l)
         if tp_axis is not None:
             attn_out = jax.lax.psum(attn_out, tp_axis)
@@ -488,10 +595,10 @@ def _forward_decode_fused(params: Params, cfg: ModelConfig, tokens: jax.Array,
         if tp_axis is not None:
             ffn_out = jax.lax.psum(ffn_out, tp_axis)
         x = x + ffn_out
-        return (x, k_c, v_c), None
+        return (x, *cv), None
 
-    (x, k_new, v_new), _ = jax.lax.scan(
-        body, (x, cache.k, cache.v),
+    (x, *cv_new), _ = jax.lax.scan(
+        body, (x, *_cache_arrays(cache)),
         jnp.arange(cfg.n_layers, dtype=jnp.int32))
 
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
@@ -499,7 +606,7 @@ def _forward_decode_fused(params: Params, cfg: ModelConfig, tokens: jax.Array,
     if tp_axis is not None:
         logits = jax.lax.all_gather(logits, tp_axis, axis=logits.ndim - 1,
                                     tiled=True)
-    return logits, KVCache(k=k_new, v=v_new)
+    return logits, _cache_rebuild(cache, tuple(cv_new))
 
 
 def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
@@ -537,12 +644,13 @@ def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
     layer_params = {k: params[k] for k in _LAYER_KEYS if k in params}
 
     def body(x, xs):
-        lp, k_c, v_c = xs
-        x, k_c, v_c = _layer(x, lp, k_c, v_c, cos, sin, pos_index, pos_mask,
-                             cfg, tp_axis, plen)
-        return x, (k_c, v_c)
+        lp = xs[0]
+        x, cv = _layer(x, lp, xs[1:], cos, sin, pos_index, pos_mask,
+                       cfg, tp_axis, plen)
+        return x, cv
 
-    x, (k_new, v_new) = jax.lax.scan(body, x, (layer_params, cache.k, cache.v))
+    x, cv_new = jax.lax.scan(
+        body, x, (layer_params, *_cache_arrays(cache)))
 
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
     logits = _linear(x, params["wcls"]).astype(jnp.float32)
@@ -550,7 +658,7 @@ def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
         # classifier is vocab-sharded; gather shards into the full vocab dim
         logits = jax.lax.all_gather(logits, tp_axis, axis=logits.ndim - 1,
                                     tiled=True)
-    return logits, KVCache(k=k_new, v=v_new)
+    return logits, _cache_rebuild(cache, cv_new)
 
 
 def prefill(params: Params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache):

@@ -208,6 +208,215 @@ def decode_attention_layer_tiled(q: jax.Array, k_full: jax.Array,
     return out.reshape(b, nh * hd)
 
 
+def _kernel_q8(sc_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
+               *, layered: bool):
+    """INT8-cache decode attention. Scales are applied AFTER the matmuls —
+    per score column for K, per probability column for V — so the (S, hd)
+    stripes stream as int8 (half the HBM bytes of bf16) and dequantization
+    costs O(S) multiplies."""
+    if layered:
+        q = q_ref[0, 0]
+        k = k_ref[0, 0, 0]                 # (S, hd) int8
+        v = v_ref[0, 0, 0]
+        ks = ks_ref[0, 0, 0]               # (1, S) f32
+        vs = vs_ref[0, 0, 0]
+    else:
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        ks = ks_ref[0, 0]
+        vs = vs_ref[0, 0]
+    s, hd = k.shape
+    pos = sc_ref[pl.program_id(0)]
+
+    scores = jax.lax.dot_general(
+        q, k.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * (ks / np.sqrt(hd))   # (rep, S)
+    visible = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1) <= pos
+    scores = jnp.where(visible, scores, -1e30)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        (probs * vs).astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def decode_attention_q8(q: jax.Array, k8: jax.Array, v8: jax.Array,
+                        ks: jax.Array, vs: jax.Array, pos: jax.Array,
+                        *, interpret: bool = False) -> jax.Array:
+    """decode_attention over an int8 cache: k8/v8 (B, nkv, S, hd) int8,
+    ks/vs (B, nkv, S) f32 row scales (see models.llama.QuantKVCache)."""
+    b, nh, hd = q.shape
+    nkv, s = k8.shape[1], k8.shape[2]
+    rep = nh // nkv
+    qg = q.reshape(b, nkv, rep, hd)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, rep, hd), lambda i, j, sc: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, s, hd), lambda i, j, sc: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, s, hd), lambda i, j, sc: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, s), lambda i, j, sc: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, s), lambda i, j, sc: (i, j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, rep, hd), lambda i, j, sc: (i, j, 0, 0)),
+    )
+    out = pl.pallas_call(
+        partial(_kernel_q8, layered=False),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nkv, rep, hd), q.dtype),
+        interpret=interpret,
+    )(pos.astype(jnp.int32), qg, k8, v8, ks[:, :, None, :], vs[:, :, None, :])
+    return out.reshape(b, nh * hd)
+
+
+def decode_attention_layer_q8(q: jax.Array, k8_full: jax.Array,
+                              v8_full: jax.Array, ks_full: jax.Array,
+                              vs_full: jax.Array, pos: jax.Array,
+                              layer: jax.Array,
+                              interpret: bool = False) -> jax.Array:
+    """Layer-indexed int8-cache decode attention over the stacked cache
+    (L, B, nkv, S, hd) int8 + (L, B, nkv, S) scales."""
+    b, nh, hd = q.shape
+    nkv, s = k8_full.shape[2], k8_full.shape[3]
+    rep = nh // nkv
+    qg = q.reshape(b, nkv, rep, hd)
+    scalars = jnp.concatenate([pos.astype(jnp.int32),
+                               layer.reshape(1).astype(jnp.int32)])
+
+    def li(sc):
+        return sc[sc.shape[0] - 1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, rep, hd), lambda i, j, sc: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, s, hd), lambda i, j, sc: (li(sc), i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, s, hd), lambda i, j, sc: (li(sc), i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 1, s), lambda i, j, sc: (li(sc), i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 1, s), lambda i, j, sc: (li(sc), i, j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, rep, hd), lambda i, j, sc: (i, j, 0, 0)),
+    )
+    out = pl.pallas_call(
+        partial(_kernel_q8, layered=True),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nkv, rep, hd), q.dtype),
+        interpret=interpret,
+    )(scalars, qg, k8_full, v8_full,
+      ks_full[:, :, :, None, :], vs_full[:, :, :, None, :])
+    return out.reshape(b, nh * hd)
+
+
+def _kernel_tiled_q8(sc_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
+                     acc_ref, m_ref, l_ref, *, c: int, nc: int):
+    """S-tiled int8-cache variant of _kernel_tiled (online softmax)."""
+    b = pl.program_id(0)
+    p = pl.program_id(2)
+    pos = sc_ref[b]
+    last = jnp.minimum(pos // c, nc - 1)
+
+    @pl.when(p == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, -1e30)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    @pl.when(p <= last)
+    def _():
+        q = q_ref[0, 0]                    # (rep, hd)
+        k = k_ref[0, 0, 0]                 # (c, hd) int8
+        v = v_ref[0, 0, 0]
+        ks = ks_ref[0, 0, 0]               # (1, c)
+        vs = vs_ref[0, 0, 0]
+        rep, hd = q.shape
+
+        scores = jax.lax.dot_general(
+            q, k.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * (ks / np.sqrt(hd))
+        g = p * c + jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+        scores = jnp.where(g <= pos, scores, -1e30)
+
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        e = jnp.exp(scores - m_new)
+        l_new = alpha * l_prev + jnp.sum(e, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            (e * vs).astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        acc_ref[...] = alpha * acc_ref[...] + pv
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(p == nc - 1)
+    def _():
+        o_ref[0, 0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+def decode_attention_layer_tiled_q8(q: jax.Array, k8_full: jax.Array,
+                                    v8_full: jax.Array, ks_full: jax.Array,
+                                    vs_full: jax.Array, pos: jax.Array,
+                                    layer: jax.Array, *, chunk: int = 512,
+                                    interpret: bool = False) -> jax.Array:
+    """S-tiled ragged int8-cache decode attention (bounded VMEM; tiles past
+    pos[b] elide their DMAs) — see decode_attention_layer_tiled."""
+    b, nh, hd = q.shape
+    nkv, s = k8_full.shape[2], k8_full.shape[3]
+    rep = nh // nkv
+    c = max([d for d in range(8, min(chunk, s) + 1, 8) if s % d == 0],
+            default=s)
+    nc = s // c
+    qg = q.reshape(b, nkv, rep, hd)
+    scalars = jnp.concatenate([pos.astype(jnp.int32),
+                               layer.reshape(1).astype(jnp.int32)])
+
+    def kv_idx(bi, j, p, sc):
+        last = jnp.minimum(sc[bi] // c, nc - 1)
+        return (sc[sc.shape[0] - 1], bi, j, jnp.minimum(p, last), 0)
+
+    def sc_idx(bi, j, p, sc):
+        last = jnp.minimum(sc[bi] // c, nc - 1)
+        return (sc[sc.shape[0] - 1], bi, j, 0, jnp.minimum(p, last))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nkv, nc),
+        in_specs=[
+            pl.BlockSpec((1, 1, rep, hd), lambda bi, j, p, sc: (bi, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, c, hd), kv_idx),
+            pl.BlockSpec((1, 1, 1, c, hd), kv_idx),
+            pl.BlockSpec((1, 1, 1, 1, c), sc_idx),
+            pl.BlockSpec((1, 1, 1, 1, c), sc_idx),
+        ],
+        out_specs=pl.BlockSpec((1, 1, rep, hd),
+                               lambda bi, j, p, sc: (bi, j, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((rep, hd), jnp.float32),
+            pltpu.VMEM((rep, 128), jnp.float32),
+            pltpu.VMEM((rep, 128), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        partial(_kernel_tiled_q8, c=c, nc=nc),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nkv, rep, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(scalars, qg, k8_full, v8_full,
+      ks_full[:, :, :, None, :], vs_full[:, :, :, None, :])
+    return out.reshape(b, nh * hd)
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                      pos: jax.Array, *, interpret: bool = False) -> jax.Array:

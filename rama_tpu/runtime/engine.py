@@ -147,8 +147,21 @@ def _prefill(params, cfg: ModelConfig, tokens_padded, true_len, temp, top_p, key
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
-def _insert(cfg: ModelConfig, cache: KVCache, k_new, v_new, slot):
-    """Copy a prefilled (L, kv, T, hd) K/V strip into slot `slot` at pos 0."""
+def _insert(cfg: ModelConfig, cache, k_new, v_new, slot):
+    """Copy a prefilled (L, kv, T, hd) K/V strip into slot `slot` at pos 0.
+
+    With an int8 cache (QuantKVCache) the bf16 prefill strips are quantized
+    row-wise on insert — prefill always runs in a dense bf16 scratch."""
+    from rama_tpu.models.llama import QuantKVCache, kv_quant_rows
+
+    if isinstance(cache, QuantKVCache):
+        kq, ks = kv_quant_rows(k_new)
+        vq, vs = kv_quant_rows(v_new)
+        k = jax.lax.dynamic_update_slice(cache.k, kq[:, None], (0, slot, 0, 0, 0))
+        v = jax.lax.dynamic_update_slice(cache.v, vq[:, None], (0, slot, 0, 0, 0))
+        kss = jax.lax.dynamic_update_slice(cache.ks, ks[:, None], (0, slot, 0, 0))
+        vss = jax.lax.dynamic_update_slice(cache.vs, vs[:, None], (0, slot, 0, 0))
+        return QuantKVCache(k=k, v=v, ks=kss, vs=vss)
     k = jax.lax.dynamic_update_slice(cache.k, k_new[:, None].astype(cache.k.dtype),
                                      (0, slot, 0, 0, 0))
     v = jax.lax.dynamic_update_slice(cache.v, v_new[:, None].astype(cache.v.dtype),
@@ -175,6 +188,12 @@ class Engine:
         self.max_len = min(self.ecfg.max_seq_len or cfg.seq_len, cfg.seq_len)
         self.paged = self.ecfg.paged_kv
         self.tp = self.ecfg.tp_size
+        self.kv_quant = self.ecfg.kv_quant
+        if self.kv_quant not in (None, "int8"):
+            raise ValueError(f"unsupported kv_quant {self.kv_quant!r}")
+        if self.kv_quant and (self.paged or self.tp > 1):
+            raise ValueError("kv_quant=int8 currently requires dense slots "
+                             "and tp_size == 1")
         if self.tp > 1:
             from rama_tpu.parallel.tp import validate_tp
 
@@ -231,7 +250,7 @@ class Engine:
             self.page_tables = np.full((b, self.pages_per_slot),
                                        self.trash_page, np.int32)
         else:
-            self.cache = KVCache.create(cfg, batch=b, max_len=self.max_len)
+            self.cache = self._create_slot_cache(b)
             if self.tp > 1:
                 from rama_tpu.parallel.tp import shard_cache
 
@@ -255,6 +274,14 @@ class Engine:
             "decode_ticks": 0,
             "decode_s": 0.0,
         }
+
+    def _create_slot_cache(self, batch: int):
+        if self.kv_quant == "int8":
+            from rama_tpu.models.llama import QuantKVCache
+
+            return QuantKVCache.create(self.cfg, batch=batch,
+                                       max_len=self.max_len)
+        return KVCache.create(self.cfg, batch=batch, max_len=self.max_len)
 
     # -- public API ---------------------------------------------------------
 
@@ -520,8 +547,7 @@ class Engine:
 
             self.allocator = PageAllocator(self.trash_page, ps, len(self.slots))
         else:
-            self.cache = KVCache.create(self.cfg, batch=len(self.slots),
-                                        max_len=self.max_len)
+            self.cache = self._create_slot_cache(len(self.slots))
             if self.tp > 1:
                 from rama_tpu.parallel.tp import shard_cache
 

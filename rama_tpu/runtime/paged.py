@@ -193,8 +193,8 @@ def forward_paged(params, cfg: ModelConfig, tokens: jax.Array,
             return g.transpose(0, 2, 1, 3, 4).reshape(b, nkv, s_max, -1)
 
         k_view, v_view = view(k_pages), view(v_pages)
-        x, k_view2, v_view2 = _layer(x, lp, k_view, v_view, cos, sin,
-                                     pos_index, pos_mask, cfg, tp_axis)
+        x, (k_view2, v_view2) = _layer(x, lp, (k_view, v_view), cos, sin,
+                                       pos_index, pos_mask, cfg, tp_axis)
         # extract the newly written rows and scatter them into the pool
         bi = jnp.arange(b)[:, None, None]
         hi = jnp.arange(nkv)[None, None, :]

@@ -142,7 +142,8 @@ def build_app(engine: Engine, default_steps: int = 255) -> web.Application:
 def load_engine(model_path: str, tokenizer_path: str, quant: str = "auto",
                 dtype: str = "bfloat16", batch: int = 8,
                 max_seq_len: int | None = None, paged: bool = False,
-                page_size: int = 128, tp: int = 1) -> Engine:
+                page_size: int = 128, tp: int = 1,
+                kv_quant: str | None = None) -> Engine:
     import jax.numpy as jnp
 
     from rama_tpu.checkpoint import (load_checkpoint, load_checkpoint_quantized,
@@ -166,7 +167,8 @@ def load_engine(model_path: str, tokenizer_path: str, quant: str = "auto",
     tokenizer = Tokenizer.from_file(tokenizer_path, cfg.vocab_size)
     ecfg = EngineConfig(model_path=model_path, tokenizer_path=tokenizer_path,
                         max_batch_size=batch, max_seq_len=max_seq_len,
-                        paged_kv=paged, kv_page_size=page_size, tp_size=tp)
+                        paged_kv=paged, kv_page_size=page_size, tp_size=tp,
+                        kv_quant=kv_quant)
     return Engine(cfg, params, tokenizer, ecfg)
 
 
@@ -183,6 +185,9 @@ def main(argv=None):
     ap.add_argument("--paged", action="store_true",
                     help="paged KV cache (page-pool memory, vLLM-style)")
     ap.add_argument("--page-size", type=int, default=128)
+    ap.add_argument("--kv-quant", default=None, choices=["int8"],
+                    help="int8 KV cache (halves cache HBM traffic, doubles "
+                         "slot capacity); dense slots + tp=1 only")
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel degree (weights + KV heads sharded "
                          "over the first tp devices)")
@@ -204,7 +209,7 @@ def main(argv=None):
     init_distributed(args.coordinator, args.num_hosts, args.host_id)
     engine = load_engine(args.model, args.tokenizer, args.quant, args.dtype,
                          args.batch, paged=args.paged, page_size=args.page_size,
-                         tp=args.tp)
+                         tp=args.tp, kv_quant=args.kv_quant)
     if not is_primary():
         # follower host: no HTTP frontend; replay the primary's device calls
         engine.follow()

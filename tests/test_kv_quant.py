@@ -1,0 +1,124 @@
+"""INT8 KV cache: kernel oracles (interpret mode) and model-level parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rama_tpu.models.llama import (KVCache, QuantKVCache, _attention,
+                                   _dequant_kv, decode_step, kv_quant_rows,
+                                   load_params, prefill)
+from rama_tpu.ops.pallas.decode_attention import (
+    decode_attention_layer_q8, decode_attention_layer_tiled_q8,
+    decode_attention_q8)
+from rama_tpu.testing.ref_model import random_params, tiny_config
+
+
+def _quant_cache(rng, L, B, nkv, S, hd):
+    k = rng.standard_normal((L, B, nkv, S, hd)).astype(np.float32)
+    v = rng.standard_normal((L, B, nkv, S, hd)).astype(np.float32)
+    k8, ks = kv_quant_rows(jnp.asarray(k))
+    v8, vs = kv_quant_rows(jnp.asarray(v))
+    return k8, v8, ks, vs
+
+
+def _xla_want(q, k8, v8, ks, vs, pos):
+    kd, vd = _dequant_kv(k8, v8, ks, vs, jnp.float32)
+    s = kd.shape[2]
+    mask = (jnp.arange(s)[None, None, :] <= pos[:, None, None])
+    return _attention(q[:, None].astype(jnp.float32), kd, vd, mask)[:, 0]
+
+
+@pytest.mark.parametrize("s", [64, 1024])
+def test_decode_attention_q8_matches_dequant(s):
+    rng = np.random.default_rng(s)
+    B, nkv, hd, rep = 2, 2, 128, 2
+    k8, v8, ks, vs = _quant_cache(rng, 1, B, nkv, s, hd)
+    q = jnp.asarray(rng.standard_normal((B, nkv * rep, hd)).astype(np.float32),
+                    jnp.bfloat16)
+    pos = jnp.asarray([s - 1, s // 3], jnp.int32)
+    got = decode_attention_q8(q, k8[0], v8[0], ks[0], vs[0], pos,
+                              interpret=True)
+    want = _xla_want(q, k8[0], v8[0], ks[0], vs[0], pos)
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want),
+                               atol=0.03, rtol=0.05)
+
+
+def test_decode_attention_layer_q8_variants():
+    rng = np.random.default_rng(1)
+    L, B, nkv, hd, rep, s = 3, 2, 2, 128, 2, 1024
+    k8, v8, ks, vs = _quant_cache(rng, L, B, nkv, s, hd)
+    q = jnp.asarray(rng.standard_normal((B, nkv * rep, hd)).astype(np.float32),
+                    jnp.bfloat16)
+    pos = jnp.asarray([700, 13], jnp.int32)
+    for l in range(L):
+        want = _xla_want(q, k8[l], v8[l], ks[l], vs[l], pos)
+        got = decode_attention_layer_q8(q, k8, v8, ks, vs, pos,
+                                        jnp.int32(l), interpret=True)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want), atol=0.03, rtol=0.05)
+        got_t = decode_attention_layer_tiled_q8(q, k8, v8, ks, vs, pos,
+                                                jnp.int32(l), interpret=True)
+        np.testing.assert_allclose(np.asarray(got_t, np.float32),
+                                   np.asarray(want), atol=0.03, rtol=0.05)
+
+
+def test_kv_quant_rows_roundtrip():
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((4, 3, 128)).astype(np.float32) * 3)
+    q, s = kv_quant_rows(x)
+    back = np.asarray(q, np.float32) * np.asarray(s)[..., None]
+    err = np.abs(back - np.asarray(x)).max() / np.abs(np.asarray(x)).max()
+    assert err < 0.01
+    assert q.dtype == jnp.int8 and np.abs(np.asarray(q)).max() <= 127
+
+
+def test_model_decode_with_quant_cache_close_to_dense():
+    """Prefill + decode through the XLA fallback path with an int8 cache:
+    greedy chains must track the dense-cache chains."""
+    cfg = tiny_config()
+    params = load_params(cfg, random_params(cfg, seed=11), dtype=jnp.float32)
+    prompt = jnp.asarray([[1, 7, 3, 9, 2, 4, 8, 5]], jnp.int32)
+
+    def chain(cache):
+        lg, cache = prefill(params, cfg, prompt, cache)
+        tok = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
+        toks = [int(tok[0])]
+        for pos in range(prompt.shape[1], prompt.shape[1] + 6):
+            lg, cache = decode_step(params, cfg, tok,
+                                    jnp.asarray([pos], jnp.int32), cache)
+            tok = jnp.argmax(lg, -1).astype(jnp.int32)
+            toks.append(int(tok[0]))
+        return toks, np.asarray(lg)
+
+    toks_q, lg_q = chain(QuantKVCache.create(cfg, batch=1))
+    toks_d, lg_d = chain(KVCache.create(cfg, batch=1, dtype=jnp.float32))
+    err = np.abs(lg_q - lg_d).max() / (np.abs(lg_d).max() + 1e-6)
+    assert err < 0.05, f"int8 KV cache moved logits too far: {err}"
+    assert toks_q == toks_d
+
+
+def test_engine_with_int8_kv_cache():
+    """Continuous-batching engine on an int8 KV cache matches the dense
+    engine's greedy streams end to end."""
+    from rama_tpu.config import EngineConfig
+    from rama_tpu.runtime.engine import Engine, Request
+    from tests.test_engine import collect, make_tokenizer
+
+    cfg = tiny_config()
+    params = load_params(cfg, random_params(cfg, seed=21), dtype=jnp.float32)
+    tok = make_tokenizer(cfg.vocab_size)
+    outs = {}
+    for name, kvq in (("int8", "int8"), ("dense", None)):
+        eng = Engine(cfg, params, tok,
+                     EngineConfig(max_batch_size=2, kv_quant=kvq))
+        eng.start()
+        try:
+            reqs = [Request(prompt="ab", steps=6, temperature=0.0),
+                    Request(prompt="ba", steps=6, temperature=0.0)]
+            for r in reqs:
+                eng.submit(r)
+            outs[name] = [collect(r) for r in reqs]
+        finally:
+            eng.stop()
+    assert outs["int8"] == outs["dense"]
