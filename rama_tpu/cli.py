@@ -118,6 +118,17 @@ def cmd_generate(args) -> int:
     params = fuse_params(params, cfg)
     tokenizer = Tokenizer.from_file(args.tokenizer, cfg.vocab_size)
 
+    if args.mode == "chat":
+        # the reference parses -o chat but never implemented the loop
+        # (main.rs:46-49); here it's the llama2.c run.c chat convention:
+        # -p becomes the system prompt, EOS ends each assistant reply
+        from rama_tpu.runtime.chat import chat_repl
+
+        return chat_repl(params, cfg, tokenizer,
+                         temperature=args.temperature, top_p=args.topp,
+                         seed=args.seed, system=args.prompt or None,
+                         max_new=args.step, cache_dtype=dtype)
+
     stats = None
     if args.spec != "off":
         from rama_tpu.runtime.speculative import generate_text_speculative
