@@ -74,6 +74,26 @@ def cache_spec() -> KVCache:
     return KVCache(k=s, v=s)
 
 
+def quant_cache_spec():
+    """Spec pytree for the INT8 KV cache: the per-row scales (L, B, n_kv, S)
+    shard with the same (data, model) axes as their int8 rows, so attention's
+    post-matmul dequant is shard-local (no collective touches the scales)."""
+    from rama_tpu.models.llama import QuantKVCache
+
+    s = P(None, DATA_AXIS, MODEL_AXIS, None, None)
+    sc = P(None, DATA_AXIS, MODEL_AXIS, None)
+    return QuantKVCache(k=s, v=s, ks=sc, vs=sc)
+
+
+def _cache_spec_for(cache_or_flag):
+    """Accepts a cache instance or a kv_quant bool."""
+    from rama_tpu.models.llama import QuantKVCache
+
+    quant = (isinstance(cache_or_flag, QuantKVCache)
+             if not isinstance(cache_or_flag, bool) else cache_or_flag)
+    return quant_cache_spec() if quant else cache_spec()
+
+
 def validate_tp(cfg: ModelConfig, tp: int) -> None:
     """Enforce the docstring's divisibility constraints up front: a tp that
     does not divide these dims would otherwise silently drop columns (in
@@ -122,22 +142,24 @@ def shard_params(params, mesh: Mesh):
         lambda x, s: make_global(x, mesh, s), params, specs)
 
 
-def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
+def shard_cache(cache, mesh: Mesh):
+    """device_put a (dense or int8-quantized) slot cache with the TP layout."""
     from rama_tpu.parallel.distributed import make_global
 
-    spec = cache_spec()
-    return KVCache(k=make_global(cache.k, mesh, spec.k),
-                   v=make_global(cache.v, mesh, spec.v))
+    spec = _cache_spec_for(cache)
+    return jax.tree_util.tree_map(
+        lambda x, s: make_global(x, mesh, s), cache, spec)
 
 
-def make_decode_step(cfg: ModelConfig, mesh: Mesh, params_example):
+def make_decode_step(cfg: ModelConfig, mesh: Mesh, params_example,
+                     kv_quant: bool = False):
     """Build the jitted TP+DP batched decode step (with in-graph sampling).
 
     Returns step(params, tokens (B,), pos (B,), temps, top_ps, key, cache)
     -> (next_tokens (B,), full logits (B, V), cache).
     """
     pspecs = param_specs(params_example)
-    cspec = cache_spec()
+    cspec = _cache_spec_for(kv_quant)
 
     def inner(params, tokens, pos, cache):
         logits, cache = forward(params, cfg, tokens[:, None], pos[:, None],
@@ -159,7 +181,8 @@ def make_decode_step(cfg: ModelConfig, mesh: Mesh, params_example):
     return step
 
 
-def make_decode_tick(cfg: ModelConfig, mesh: Mesh, params_example, n: int):
+def make_decode_tick(cfg: ModelConfig, mesh: Mesh, params_example, n: int,
+                     kv_quant: bool = False):
     """Build the jitted TP+DP multi-token tick: n sampled decode steps in one
     dispatch (an on-device scan whose body is the shard_mapped step), so the
     serving loop pays one host round-trip per n tokens.
@@ -168,7 +191,7 @@ def make_decode_tick(cfg: ModelConfig, mesh: Mesh, params_example, n: int):
     -> (tokens (n, B), cache).
     """
     pspecs = param_specs(params_example)
-    cspec = cache_spec()
+    cspec = _cache_spec_for(kv_quant)
 
     def inner(params, tokens, pos, cache):
         logits, cache = forward(params, cfg, tokens[:, None], pos[:, None],
@@ -276,14 +299,15 @@ def make_paged_insert(cfg: ModelConfig, mesh: Mesh):
     return insert
 
 
-def make_prefill(cfg: ModelConfig, mesh: Mesh, params_example):
+def make_prefill(cfg: ModelConfig, mesh: Mesh, params_example,
+                 kv_quant: bool = False):
     """Build the jitted TP prefill over a (B, T) prompt chunk from pos 0.
 
     Returns prefill(params, tokens (B, T), cache) -> (logits (B, T, V), cache).
     The batch shards over `data`, so B must be a multiple of dp.
     """
     pspecs = param_specs(params_example)
-    cspec = cache_spec()
+    cspec = _cache_spec_for(kv_quant)
 
     def inner(params, tokens, cache):
         b, t = tokens.shape

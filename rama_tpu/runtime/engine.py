@@ -191,9 +191,9 @@ class Engine:
         self.kv_quant = self.ecfg.kv_quant
         if self.kv_quant not in (None, "int8"):
             raise ValueError(f"unsupported kv_quant {self.kv_quant!r}")
-        if self.kv_quant and (self.paged or self.tp > 1):
+        if self.kv_quant and self.paged:
             raise ValueError("kv_quant=int8 currently requires dense slots "
-                             "and tp_size == 1")
+                             "(paged + quantized KV is not yet supported)")
         if self.tp > 1:
             from rama_tpu.parallel.tp import validate_tp
 
@@ -227,7 +227,10 @@ class Engine:
                 self._tp_paged_insert = tp_mod.make_paged_insert(cfg, self.mesh)
             else:
                 self._tp_tick = tp_mod.make_decode_tick(
-                    cfg, self.mesh, params, n=self.ecfg.decode_tick)
+                    cfg, self.mesh, params, n=self.ecfg.decode_tick,
+                    kv_quant=self.kv_quant == "int8")
+            # prefill always runs against a dense scratch cache (the strip is
+            # quantized at _insert time when the main cache is int8)
             self._tp_prefill = tp_mod.make_prefill(cfg, self.mesh, params)
         self.params = params
         if self.paged:

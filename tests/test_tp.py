@@ -145,3 +145,31 @@ def test_tp_int4_params(setup):
                               jnp.full(2, 0.9), jax.random.PRNGKey(0), cache)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_engine_tp_with_int8_kv_cache(setup):
+    """kv_quant=int8 under tensor parallelism: the quantized-cache scales
+    shard with their rows (quant_cache_spec), and the tp=2 engine matches the
+    tp=1 quantized engine stream for stream."""
+    from rama_tpu.config import EngineConfig
+    from rama_tpu.runtime.engine import Engine, Request
+    from tests.test_engine import collect, make_tokenizer
+
+    cfg, np_params, params = setup
+    tok = make_tokenizer(cfg.vocab_size)
+
+    outs = {}
+    for tp in (1, 2):
+        eng = Engine(cfg, params, tok,
+                     EngineConfig(max_batch_size=2, tp_size=tp,
+                                  kv_quant="int8"))
+        eng.start()
+        try:
+            reqs = [Request(prompt=p, steps=6, temperature=0.0)
+                    for p in ("abc", "zq")]
+            for r in reqs:
+                eng.submit(r)
+            outs[tp] = [collect(r) for r in reqs]
+        finally:
+            eng.stop()
+    assert outs[1] == outs[2]
