@@ -220,31 +220,16 @@ def decode_attention_layer_tiled(q: jax.Array, k_full: jax.Array,
     return out.reshape(b, nh * hd)
 
 
-def _kernel_q8(sc_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
-               *, layered: bool):
-    """INT8-cache decode attention. Scales are applied AFTER the matmuls —
-    per score column for K, per probability column for V — so the (S, hd)
-    stripes stream as int8 (half the HBM bytes of bf16) and dequantization
-    costs O(S) multiplies."""
-    if layered:
-        q = q_ref[0, 0]
-        k = k_ref[0, 0, 0]                 # (S, hd) int8
-        v = v_ref[0, 0, 0]
-        ks = ks_ref[0, 0, 0]               # (1, S) f32
-        vs = vs_ref[0, 0, 0]
-    else:
-        q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
-        ks = ks_ref[0, 0]
-        vs = vs_ref[0, 0]
+def _one_head_q8(q, k, v, ks, vs, visible, out_dtype):
+    """INT8-cache attention for one query group: q (rep, hd) bf16 against
+    k/v (S, hd) int8 with row scales ks/vs (1, S) f32. Scales are applied
+    AFTER the matmuls — per score column for K, per probability column for
+    V — so the stripes stream as int8 (half the HBM bytes of bf16) and
+    dequantization costs O(S) multiplies."""
     s, hd = k.shape
-    pos = sc_ref[pl.program_id(0)]
-
     scores = jax.lax.dot_general(
         q, k.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * (ks / np.sqrt(hd))   # (rep, S)
-    visible = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1) <= pos
     scores = jnp.where(visible, scores, -1e30)
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
@@ -252,7 +237,23 @@ def _kernel_q8(sc_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
     out = jax.lax.dot_general(
         (probs * vs).astype(jnp.bfloat16), v.astype(jnp.bfloat16),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+    return out.astype(out_dtype)
+
+
+def _kernel_q8(sc_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
+               *, layered: bool, hb: int):
+    s = k_ref.shape[-2]
+    pos = sc_ref[pl.program_id(0)]
+    visible = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1) <= pos
+    for h in range(hb):
+        if layered:
+            k, v = k_ref[0, 0, h], v_ref[0, 0, h]        # (S, hd) int8
+            ks, vs = ks_ref[0, 0, h], vs_ref[0, 0, h]    # (1, S) f32
+        else:
+            k, v = k_ref[0, h], v_ref[0, h]
+            ks, vs = ks_ref[0, h], vs_ref[0, h]
+        o_ref[0, h] = _one_head_q8(q_ref[0, h], k, v, ks, vs, visible,
+                                   o_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -264,22 +265,23 @@ def decode_attention_q8(q: jax.Array, k8: jax.Array, v8: jax.Array,
     b, nh, hd = q.shape
     nkv, s = k8.shape[1], k8.shape[2]
     rep = nh // nkv
+    hb = _pick_heads(nkv, s * (2 * hd + 8))
     qg = q.reshape(b, nkv, rep, hd)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, nkv),
+        grid=(b, nkv // hb),
         in_specs=[
-            pl.BlockSpec((1, 1, rep, hd), lambda i, j, sc: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, s, hd), lambda i, j, sc: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, s, hd), lambda i, j, sc: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, 1, s), lambda i, j, sc: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, 1, s), lambda i, j, sc: (i, j, 0, 0)),
+            pl.BlockSpec((1, hb, rep, hd), lambda i, j, sc: (i, j, 0, 0)),
+            pl.BlockSpec((1, hb, s, hd), lambda i, j, sc: (i, j, 0, 0)),
+            pl.BlockSpec((1, hb, s, hd), lambda i, j, sc: (i, j, 0, 0)),
+            pl.BlockSpec((1, hb, 1, s), lambda i, j, sc: (i, j, 0, 0)),
+            pl.BlockSpec((1, hb, 1, s), lambda i, j, sc: (i, j, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, rep, hd), lambda i, j, sc: (i, j, 0, 0)),
+        out_specs=pl.BlockSpec((1, hb, rep, hd), lambda i, j, sc: (i, j, 0, 0)),
     )
     out = pl.pallas_call(
-        partial(_kernel_q8, layered=False),
+        partial(_kernel_q8, layered=False, hb=hb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, nkv, rep, hd), q.dtype),
         interpret=interpret,
@@ -297,6 +299,7 @@ def decode_attention_layer_q8(q: jax.Array, k8_full: jax.Array,
     b, nh, hd = q.shape
     nkv, s = k8_full.shape[2], k8_full.shape[3]
     rep = nh // nkv
+    hb = _pick_heads(nkv, s * (2 * hd + 8))
     qg = q.reshape(b, nkv, rep, hd)
     scalars = jnp.concatenate([pos.astype(jnp.int32),
                                layer.reshape(1).astype(jnp.int32)])
@@ -306,18 +309,18 @@ def decode_attention_layer_q8(q: jax.Array, k8_full: jax.Array,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, nkv),
+        grid=(b, nkv // hb),
         in_specs=[
-            pl.BlockSpec((1, 1, rep, hd), lambda i, j, sc: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, 1, s, hd), lambda i, j, sc: (li(sc), i, j, 0, 0)),
-            pl.BlockSpec((1, 1, 1, s, hd), lambda i, j, sc: (li(sc), i, j, 0, 0)),
-            pl.BlockSpec((1, 1, 1, 1, s), lambda i, j, sc: (li(sc), i, j, 0, 0)),
-            pl.BlockSpec((1, 1, 1, 1, s), lambda i, j, sc: (li(sc), i, j, 0, 0)),
+            pl.BlockSpec((1, hb, rep, hd), lambda i, j, sc: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, hb, s, hd), lambda i, j, sc: (li(sc), i, j, 0, 0)),
+            pl.BlockSpec((1, 1, hb, s, hd), lambda i, j, sc: (li(sc), i, j, 0, 0)),
+            pl.BlockSpec((1, 1, hb, 1, s), lambda i, j, sc: (li(sc), i, j, 0, 0)),
+            pl.BlockSpec((1, 1, hb, 1, s), lambda i, j, sc: (li(sc), i, j, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, rep, hd), lambda i, j, sc: (i, j, 0, 0)),
+        out_specs=pl.BlockSpec((1, hb, rep, hd), lambda i, j, sc: (i, j, 0, 0)),
     )
     out = pl.pallas_call(
-        partial(_kernel_q8, layered=True),
+        partial(_kernel_q8, layered=True, hb=hb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, nkv, rep, hd), q.dtype),
         interpret=interpret,
@@ -327,7 +330,7 @@ def decode_attention_layer_q8(q: jax.Array, k8_full: jax.Array,
 
 
 def _kernel_tiled_q8(sc_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
-                     acc_ref, m_ref, l_ref, *, c: int, nc: int):
+                     acc_ref, m_ref, l_ref, *, c: int, nc: int, hb: int):
     """S-tiled int8-cache variant of _kernel_tiled (online softmax)."""
     b = pl.program_id(0)
     p = pl.program_id(2)
@@ -342,35 +345,38 @@ def _kernel_tiled_q8(sc_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
 
     @pl.when(p <= last)
     def _():
-        q = q_ref[0, 0]                    # (rep, hd)
-        k = k_ref[0, 0, 0]                 # (c, hd) int8
-        v = v_ref[0, 0, 0]
-        ks = ks_ref[0, 0, 0]               # (1, c)
-        vs = vs_ref[0, 0, 0]
-        rep, hd = q.shape
-
-        scores = jax.lax.dot_general(
-            q, k.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * (ks / np.sqrt(hd))
         g = p * c + jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
-        scores = jnp.where(g <= pos, scores, -1e30)
+        mask = g <= pos
+        for h in range(hb):
+            q = q_ref[0, h]                    # (rep, hd)
+            k = k_ref[0, 0, h]                 # (c, hd) int8
+            v = v_ref[0, 0, h]
+            ks = ks_ref[0, 0, h]               # (1, c)
+            vs = vs_ref[0, 0, h]
+            rep, hd = q.shape
 
-        m_prev = m_ref[:, :1]
-        l_prev = l_ref[:, :1]
-        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        e = jnp.exp(scores - m_new)
-        l_new = alpha * l_prev + jnp.sum(e, axis=-1, keepdims=True)
-        pv = jax.lax.dot_general(
-            (e * vs).astype(jnp.bfloat16), v.astype(jnp.bfloat16),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        acc_ref[...] = alpha * acc_ref[...] + pv
-        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
-        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+            scores = jax.lax.dot_general(
+                q, k.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * (ks / np.sqrt(hd))
+            scores = jnp.where(mask, scores, -1e30)
+
+            m_prev = m_ref[h, :, :1]
+            l_prev = l_ref[h, :, :1]
+            m_new = jnp.maximum(m_prev,
+                                jnp.max(scores, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            e = jnp.exp(scores - m_new)
+            l_new = alpha * l_prev + jnp.sum(e, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                (e * vs).astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            acc_ref[h] = alpha * acc_ref[h] + pv
+            m_ref[h] = jnp.broadcast_to(m_new, m_ref.shape[1:])
+            l_ref[h] = jnp.broadcast_to(l_new, l_ref.shape[1:])
 
     @pl.when(p == nc - 1)
     def _():
-        o_ref[0, 0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[...] / l_ref[:, :, :1]).astype(o_ref.dtype)
 
 
 def decode_attention_layer_tiled_q8(q: jax.Array, k8_full: jax.Array,
@@ -386,6 +392,7 @@ def decode_attention_layer_tiled_q8(q: jax.Array, k8_full: jax.Array,
     c = max([d for d in range(8, min(chunk, s) + 1, 8) if s % d == 0],
             default=s)
     nc = s // c
+    hb = _pick_heads(nkv, c * (2 * hd + 8))
     qg = q.reshape(b, nkv, rep, hd)
     scalars = jnp.concatenate([pos.astype(jnp.int32),
                                layer.reshape(1).astype(jnp.int32)])
@@ -400,24 +407,24 @@ def decode_attention_layer_tiled_q8(q: jax.Array, k8_full: jax.Array,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, nkv, nc),
+        grid=(b, nkv // hb, nc),
         in_specs=[
-            pl.BlockSpec((1, 1, rep, hd), lambda bi, j, p, sc: (bi, j, 0, 0)),
-            pl.BlockSpec((1, 1, 1, c, hd), kv_idx),
-            pl.BlockSpec((1, 1, 1, c, hd), kv_idx),
-            pl.BlockSpec((1, 1, 1, 1, c), sc_idx),
-            pl.BlockSpec((1, 1, 1, 1, c), sc_idx),
+            pl.BlockSpec((1, hb, rep, hd), lambda bi, j, p, sc: (bi, j, 0, 0)),
+            pl.BlockSpec((1, 1, hb, c, hd), kv_idx),
+            pl.BlockSpec((1, 1, hb, c, hd), kv_idx),
+            pl.BlockSpec((1, 1, hb, 1, c), sc_idx),
+            pl.BlockSpec((1, 1, hb, 1, c), sc_idx),
         ],
-        out_specs=pl.BlockSpec((1, 1, rep, hd),
+        out_specs=pl.BlockSpec((1, hb, rep, hd),
                                lambda bi, j, p, sc: (bi, j, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((rep, hd), jnp.float32),
-            pltpu.VMEM((rep, 128), jnp.float32),
-            pltpu.VMEM((rep, 128), jnp.float32),
+            pltpu.VMEM((hb, rep, hd), jnp.float32),
+            pltpu.VMEM((hb, rep, 128), jnp.float32),
+            pltpu.VMEM((hb, rep, 128), jnp.float32),
         ],
     )
     out = pl.pallas_call(
-        partial(_kernel_tiled_q8, c=c, nc=nc),
+        partial(_kernel_tiled_q8, c=c, nc=nc, hb=hb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, nkv, rep, hd), q.dtype),
         compiler_params=pltpu.CompilerParams(
