@@ -56,20 +56,50 @@ def _dequant4(packed, scales, gs: int):
     return (w * s).reshape(k2 * 2, n).astype(jnp.bfloat16)
 
 
-def _kernel(l_ref, x_ref, q1_ref, s1_ref, q3_ref, s3_ref, q2_ref, s2_ref,
-            o_ref, h_ref, *, gs13: int, gs2: int, nh: int, nn: int, bh: int,
+def _dequant4_planes(packed, scales, gs: int):
+    """Like _dequant4 but returns the two nibble planes separately (each
+    (K//2, N) bf16, scaled) so the caller can run two plane dots against
+    pre-split x columns instead of paying the interleaving concat."""
+    p32 = packed.astype(jnp.int32)
+    k2, n = p32.shape
+    nb = k2 // gs
+    lo = ((p32 << 28) >> 28).astype(jnp.float32)
+    hi = (p32 >> 4).astype(jnp.float32)
+    s = scales.reshape(nb, 2, n)
+    wlo = (lo.reshape(nb, gs, n) * s[:, 0:1, :]).reshape(k2, n)
+    whi = (hi.reshape(nb, gs, n) * s[:, 1:2, :]).reshape(k2, n)
+    return wlo.astype(jnp.bfloat16), whi.astype(jnp.bfloat16)
+
+
+def _kernel(l_ref, *refs, gs13: int, gs2: int, nh: int, nn: int, bh: int,
             bits: int, out_dtype):
+    if bits == 8:
+        (x_ref, q1_ref, s1_ref, q3_ref, s3_ref, q2_ref, s2_ref,
+         o_ref, h_ref) = refs
+    else:
+        (xlo_ref, xhi_ref, q1_ref, s1_ref, q3_ref, s3_ref, q2_ref, s2_ref,
+         o_ref, h_ref) = refs
     p = pl.program_id(0)
     dequant = _dequant8 if bits == 8 else _dequant4
     kpack = 1 if bits == 8 else 2
 
     @pl.when(p < nh)
     def _():
-        x = x_ref[...].astype(jnp.bfloat16)             # (M, K)
-        a = jnp.dot(x, dequant(q1_ref[0], s1_ref[0], gs13),
-                    preferred_element_type=jnp.float32)  # (M, bh)
-        c = jnp.dot(x, dequant(q3_ref[0], s3_ref[0], gs13),
-                    preferred_element_type=jnp.float32)
+        if bits == 8:
+            x = x_ref[...].astype(jnp.bfloat16)         # (M, K)
+            a = jnp.dot(x, dequant(q1_ref[0], s1_ref[0], gs13),
+                        preferred_element_type=jnp.float32)  # (M, bh)
+            c = jnp.dot(x, dequant(q3_ref[0], s3_ref[0], gs13),
+                        preferred_element_type=jnp.float32)
+        else:
+            xlo = xlo_ref[...].astype(jnp.bfloat16)     # (M, K//2)
+            xhi = xhi_ref[...].astype(jnp.bfloat16)
+            w1lo, w1hi = _dequant4_planes(q1_ref[0], s1_ref[0], gs13)
+            w3lo, w3hi = _dequant4_planes(q3_ref[0], s3_ref[0], gs13)
+            a = (jnp.dot(xlo, w1lo, preferred_element_type=jnp.float32)
+                 + jnp.dot(xhi, w1hi, preferred_element_type=jnp.float32))
+            c = (jnp.dot(xlo, w3lo, preferred_element_type=jnp.float32)
+                 + jnp.dot(xhi, w3hi, preferred_element_type=jnp.float32))
         h_ref[p] = (a * jax.lax.logistic(a) * c).astype(jnp.bfloat16)
 
     @pl.when(p >= nh)
@@ -145,11 +175,20 @@ def ffn_fused_layered(x: jax.Array, w13: QuantizedTensor, w2: QuantizedTensor,
     bn = _pick_tile(n, 256, 128)
     nh, nn = h // bh, n // bn    # w13 column blocks: W3 starts at block nh
 
+    if bits == 8:
+        x_specs = [pl.BlockSpec((m, k), lambda p, sc: (0, 0))]
+        x_ops = (x,)
+    else:
+        from rama_tpu.ops.pallas.quant_matmul import _split_x_planes
+
+        x_specs = [pl.BlockSpec((m, k // 2), lambda p, sc: (0, 0)),
+                   pl.BlockSpec((m, k // 2), lambda p, sc: (0, 0))]
+        x_ops = _split_x_planes(x, gs13)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nh + nn,),
-        in_specs=[
-            pl.BlockSpec((m, k), lambda p, sc: (0, 0)),
+        in_specs=x_specs + [
             pl.BlockSpec((1, k // kpack, bh),
                          lambda p, sc: (sc[0], 0, jnp.minimum(p, nh - 1))),
             pl.BlockSpec((1, k // gs13, bh),
@@ -180,5 +219,5 @@ def ffn_fused_layered(x: jax.Array, w13: QuantizedTensor, w2: QuantizedTensor,
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(layer.reshape(1).astype(jnp.int32), x, w13.q, w13.scales, w13.q,
+    )(layer.reshape(1).astype(jnp.int32), *x_ops, w13.q, w13.scales, w13.q,
       w13.scales, w2.q, w2.scales)
