@@ -146,6 +146,124 @@ def paged_decode_attention_layer(q: jax.Array, k_pool: jax.Array,
     return out.reshape(b, nh * hd)
 
 
+def _kernel_q8(sc_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
+               acc_ref, m_ref, l_ref, *, ps: int, mp: int, nb: int):
+    """INT8-pool variant: K/V pages stream as int8 (half the HBM bytes) with
+    per-row f32 scales applied after the matmuls — per score column for K,
+    per probability column for V (same scheme as decode_attention_q8)."""
+    b = pl.program_id(0)
+    p = pl.program_id(2)
+    pos = sc_ref[b]
+    last = jnp.minimum(pos // ps, mp - 1)
+
+    @pl.when(p == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, -1e30)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    @pl.when(p <= last)
+    def _():
+        q = q_ref[0, 0]                    # (rep, hd)
+        k = k_ref[0, 0, 0]                 # (ps, hd) int8
+        v = v_ref[0, 0, 0]
+        ks = ks_ref[0, 0, 0]               # (1, ps) f32
+        vs = vs_ref[0, 0, 0]
+        rep, hd = q.shape
+
+        scores = jax.lax.dot_general(
+            q, k.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * (ks / np.sqrt(hd))
+        g = p * ps + jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
+        scores = jnp.where(g <= pos, scores, -1e30)
+
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        e = jnp.exp(scores - m_new)
+        l_new = alpha * l_prev + jnp.sum(e, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            (e * vs).astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        acc_ref[...] = alpha * acc_ref[...] + pv
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(p == nb - 1)
+    def _():
+        o_ref[0, 0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+def paged_decode_attention_layer_q8(q: jax.Array, k_pool: jax.Array,
+                                    v_pool: jax.Array, ks_pool: jax.Array,
+                                    vs_pool: jax.Array, pos: jax.Array,
+                                    page_tables: jax.Array, layer: jax.Array,
+                                    interpret: bool = False) -> jax.Array:
+    """paged_decode_attention_layer over an INT8 page pool.
+
+    k/v_pool (L, P, nkv, ps, hd) int8; ks/vs_pool (L, P, nkv, ps) f32 row
+    scales (absmax/127 per written row, models.llama.kv_quant_rows).
+    """
+    b, nh, hd = q.shape
+    nkv, ps = k_pool.shape[2], k_pool.shape[3]
+    mp = page_tables.shape[1]
+    rep = nh // nkv
+    qg = q.reshape(b, nkv, rep, hd)
+
+    scalars = jnp.concatenate([
+        pos.astype(jnp.int32),
+        jnp.maximum(page_tables, 0).reshape(-1).astype(jnp.int32),
+        layer.reshape(1).astype(jnp.int32)])
+
+    def page_index(bi, j, p, sc):
+        last = jnp.minimum(sc[bi] // ps, mp - 1)
+        pp = jnp.minimum(p, last)
+        return sc[b + bi * mp + pp]
+
+    def kv_spec():
+        return pl.BlockSpec(
+            (1, 1, 1, ps, hd),
+            lambda bi, j, p, sc: (sc[sc.shape[0] - 1], page_index(bi, j, p, sc),
+                                  j, 0, 0))
+
+    def sc_spec():
+        return pl.BlockSpec(
+            (1, 1, 1, 1, ps),
+            lambda bi, j, p, sc: (sc[sc.shape[0] - 1], page_index(bi, j, p, sc),
+                                  j, 0, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nkv, mp),
+        in_specs=[
+            pl.BlockSpec((1, 1, rep, hd), lambda bi, j, p, sc: (bi, j, 0, 0)),
+            kv_spec(),
+            kv_spec(),
+            sc_spec(),
+            sc_spec(),
+        ],
+        out_specs=pl.BlockSpec((1, 1, rep, hd),
+                               lambda bi, j, p, sc: (bi, j, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((rep, hd), jnp.float32),
+            pltpu.VMEM((rep, 128), jnp.float32),
+            pltpu.VMEM((rep, 128), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        partial(_kernel_q8, ps=ps, mp=mp, nb=mp),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nkv, rep, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(scalars, qg, k_pool, v_pool,
+      ks_pool[:, :, :, None, :], vs_pool[:, :, :, None, :])
+    return out.reshape(b, nh * hd)
+
+
 def paged_attn_supported(cfg, page_size: int) -> bool:
     """Kernel shape constraints: 128-lane head dim, 8-sublane page stripes,
     whole GQA groups."""

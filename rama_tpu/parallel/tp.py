@@ -219,27 +219,31 @@ def make_decode_tick(cfg: ModelConfig, mesh: Mesh, params_example, n: int,
     return tick
 
 
-def paged_cache_spec():
+def paged_cache_spec(kv_quant: bool = False):
     """Page pool (L, P, n_kv, ps, hd): KV heads shard over `model`, the page
     dimension is shared (one pool, every chip holds its head-slice of every
-    page). Page tables are host bookkeeping and stay replicated."""
-    from rama_tpu.runtime.paged import PagedKVCache
+    page). Page tables are host bookkeeping and stay replicated. With an int8
+    pool the per-row scales (L, P, n_kv, ps) shard with their rows."""
+    from rama_tpu.runtime.paged import PagedKVCache, QuantPagedKVCache
 
     s = P(None, None, MODEL_AXIS, None, None)
+    if kv_quant:
+        sc = P(None, None, MODEL_AXIS, None)
+        return QuantPagedKVCache(k=s, v=s, ks=sc, vs=sc)
     return PagedKVCache(k=s, v=s)
 
 
 def shard_paged_cache(cache, mesh: Mesh):
     from rama_tpu.parallel.distributed import make_global
-    from rama_tpu.runtime.paged import PagedKVCache
+    from rama_tpu.runtime.paged import QuantPagedKVCache
 
-    spec = paged_cache_spec()
-    return PagedKVCache(k=make_global(cache.k, mesh, spec.k),
-                        v=make_global(cache.v, mesh, spec.v))
+    spec = paged_cache_spec(isinstance(cache, QuantPagedKVCache))
+    return jax.tree_util.tree_map(
+        lambda x, s: make_global(x, mesh, s), cache, spec)
 
 
 def make_paged_decode_tick(cfg: ModelConfig, mesh: Mesh, params_example,
-                           n: int):
+                           n: int, kv_quant: bool = False):
     """TP multi-token tick against the paged pool: n sampled decode steps per
     dispatch, attention reading each chip's KV-head slice of the page pool in
     place (ragged paged kernel on TPU, gather view elsewhere).
@@ -250,7 +254,7 @@ def make_paged_decode_tick(cfg: ModelConfig, mesh: Mesh, params_example,
     from rama_tpu.runtime.paged import forward_paged
 
     pspecs = param_specs(params_example)
-    cspec = paged_cache_spec()
+    cspec = paged_cache_spec(kv_quant)
 
     def inner(params, tokens, pos, cache, tables):
         logits, cache = forward_paged(params, cfg, tokens[:, None],
@@ -279,12 +283,13 @@ def make_paged_decode_tick(cfg: ModelConfig, mesh: Mesh, params_example,
     return tick
 
 
-def make_paged_insert(cfg: ModelConfig, mesh: Mesh):
+def make_paged_insert(cfg: ModelConfig, mesh: Mesh, kv_quant: bool = False):
     """TP prefill insert: scatter a KV-head-sharded (L, kv, T, hd) strip into
-    one slot's pages of the sharded pool."""
+    one slot's pages of the sharded pool (quantizing rows when the pool is
+    int8 — shard-local, scales follow their rows)."""
     from rama_tpu.runtime.paged import _insert_prefill_paged_impl
 
-    cspec = paged_cache_spec()
+    cspec = paged_cache_spec(kv_quant)
     strip = P(None, MODEL_AXIS, None, None)
 
     mapped = jax.shard_map(

@@ -191,9 +191,6 @@ class Engine:
         self.kv_quant = self.ecfg.kv_quant
         if self.kv_quant not in (None, "int8"):
             raise ValueError(f"unsupported kv_quant {self.kv_quant!r}")
-        if self.kv_quant and self.paged:
-            raise ValueError("kv_quant=int8 currently requires dense slots "
-                             "(paged + quantized KV is not yet supported)")
         if self.tp > 1:
             from rama_tpu.parallel.tp import validate_tp
 
@@ -223,8 +220,10 @@ class Engine:
             params = tp_mod.shard_params(params, self.mesh)
             if self.paged:
                 self._tp_paged_tick = tp_mod.make_paged_decode_tick(
-                    cfg, self.mesh, params, n=self.ecfg.decode_tick)
-                self._tp_paged_insert = tp_mod.make_paged_insert(cfg, self.mesh)
+                    cfg, self.mesh, params, n=self.ecfg.decode_tick,
+                    kv_quant=self.kv_quant == "int8")
+                self._tp_paged_insert = tp_mod.make_paged_insert(
+                    cfg, self.mesh, kv_quant=self.kv_quant == "int8")
             else:
                 self._tp_tick = tp_mod.make_decode_tick(
                     cfg, self.mesh, params, n=self.ecfg.decode_tick,
@@ -235,7 +234,6 @@ class Engine:
         self.params = params
         if self.paged:
             from rama_tpu.native import PageAllocator
-            from rama_tpu.runtime.paged import PagedKVCache
 
             ps = self.ecfg.kv_page_size
             self.pages_per_slot = -(-self.max_len // ps)
@@ -245,7 +243,7 @@ class Engine:
             # the allocator has handed to live requests
             self.trash_page = num_pages
             self.allocator = PageAllocator(num_pages, ps, b)
-            self.cache = PagedKVCache.create(cfg, num_pages + 1, ps)
+            self.cache = self._create_paged_cache(num_pages + 1, ps)
             if self.tp > 1:
                 from rama_tpu.parallel.tp import shard_paged_cache
 
@@ -285,6 +283,12 @@ class Engine:
             return QuantKVCache.create(self.cfg, batch=batch,
                                        max_len=self.max_len)
         return KVCache.create(self.cfg, batch=batch, max_len=self.max_len)
+
+    def _create_paged_cache(self, num_pages: int, page_size: int):
+        from rama_tpu.runtime.paged import PagedKVCache, QuantPagedKVCache
+
+        cls = QuantPagedKVCache if self.kv_quant == "int8" else PagedKVCache
+        return cls.create(self.cfg, num_pages, page_size)
 
     # -- public API ---------------------------------------------------------
 
@@ -537,10 +541,8 @@ class Engine:
 
     def _reset_cache(self):
         if self.paged:
-            from rama_tpu.runtime.paged import PagedKVCache
-
             ps = self.ecfg.kv_page_size
-            self.cache = PagedKVCache.create(self.cfg, self.trash_page + 1, ps)
+            self.cache = self._create_paged_cache(self.trash_page + 1, ps)
             if self.tp > 1:
                 from rama_tpu.parallel.tp import shard_paged_cache
 

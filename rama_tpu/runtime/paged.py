@@ -58,6 +58,38 @@ class PagedKVCache:
         return self.k.shape[1]
 
 
+@jax.tree_util.register_dataclass
+@dataclass
+class QuantPagedKVCache:
+    """INT8 page pool: k/v (L, P, n_kv, ps, hd) int8 with per-row absmax
+    scales ks/vs (L, P, n_kv, ps) f32 — the paged counterpart of
+    models.llama.QuantKVCache (half the page-stream bytes, double the pages
+    per GB of pool)."""
+
+    k: jax.Array
+    v: jax.Array
+    ks: jax.Array
+    vs: jax.Array
+
+    @staticmethod
+    def create(cfg: ModelConfig, num_pages: int,
+               page_size: int = 128) -> "QuantPagedKVCache":
+        shape = (cfg.n_layers, num_pages, cfg.n_kv_heads, page_size,
+                 cfg.head_dim)
+        return QuantPagedKVCache(k=jnp.zeros(shape, jnp.int8),
+                                 v=jnp.zeros(shape, jnp.int8),
+                                 ks=jnp.zeros(shape[:-1], jnp.float32),
+                                 vs=jnp.zeros(shape[:-1], jnp.float32))
+
+    @property
+    def page_size(self) -> int:
+        return self.k.shape[3]
+
+    @property
+    def num_pages(self) -> int:
+        return self.k.shape[1]
+
+
 def _forward_decode_fused_paged(params, cfg: ModelConfig, tokens: jax.Array,
                                 pos_index: jax.Array, cache: PagedKVCache,
                                 page_tables: jax.Array,
@@ -71,9 +103,11 @@ def _forward_decode_fused_paged(params, cfg: ModelConfig, tokens: jax.Array,
     made paged mode lose to dense slots in round 1).
     """
     from rama_tpu.models.llama import (_linear, _linear_layered, apply_rope,
-                                       rmsnorm)
-    from rama_tpu.ops.pallas.paged_attention import paged_decode_attention_layer
+                                       kv_quant_rows, rmsnorm)
+    from rama_tpu.ops.pallas.paged_attention import (
+        paged_decode_attention_layer, paged_decode_attention_layer_q8)
 
+    kv_quant = isinstance(cache, QuantPagedKVCache)
     b = tokens.shape[0]
     dtype = params["final_norm"].dtype
     x = _embed(params["tok_embedding"], tokens, dtype)           # (B, 1, D)
@@ -94,7 +128,8 @@ def _forward_decode_fused_paged(params, cfg: ModelConfig, tokens: jax.Array,
     write_off = pos % ps
 
     def body(carry, l):
-        x, k_pool, v_pool = carry
+        x, pools = carry
+        k_pool, v_pool = pools[0], pools[1]
         nkv_local = k_pool.shape[2]
 
         xb = rmsnorm(x, jnp.take(params["attn_norm"], l, axis=0), cfg.norm_eps)
@@ -119,11 +154,23 @@ def _forward_decode_fused_paged(params, cfg: ModelConfig, tokens: jax.Array,
         pg = write_page[:, None]                      # (B, 1)
         hi = jnp.arange(nkv_local)[None, :]           # (1, nkv)
         off = write_off[:, None]
-        k_pool = k_pool.at[l, pg, hi, off].set(k[:, 0].astype(k_pool.dtype))
-        v_pool = v_pool.at[l, pg, hi, off].set(v[:, 0].astype(v_pool.dtype))
-
-        att = paged_decode_attention_layer(q[:, 0], k_pool, v_pool, pos,
-                                           tables, l)
+        if kv_quant:
+            ks_pool, vs_pool = pools[2], pools[3]
+            kq, ksc = kv_quant_rows(k[:, 0])          # (B,nkv,hd), (B,nkv)
+            vq, vsc = kv_quant_rows(v[:, 0])
+            k_pool = k_pool.at[l, pg, hi, off].set(kq)
+            v_pool = v_pool.at[l, pg, hi, off].set(vq)
+            ks_pool = ks_pool.at[l, pg, hi, off].set(ksc)
+            vs_pool = vs_pool.at[l, pg, hi, off].set(vsc)
+            pools_out = (k_pool, v_pool, ks_pool, vs_pool)
+            att = paged_decode_attention_layer_q8(
+                q[:, 0], k_pool, v_pool, ks_pool, vs_pool, pos, tables, l)
+        else:
+            k_pool = k_pool.at[l, pg, hi, off].set(k[:, 0].astype(k_pool.dtype))
+            v_pool = v_pool.at[l, pg, hi, off].set(v[:, 0].astype(v_pool.dtype))
+            pools_out = (k_pool, v_pool)
+            att = paged_decode_attention_layer(q[:, 0], k_pool, v_pool, pos,
+                                               tables, l)
         attn_out = _linear_layered(att, params["wo"], l)
         if tp_axis is not None:
             attn_out = jax.lax.psum(attn_out, tp_axis)
@@ -140,18 +187,21 @@ def _forward_decode_fused_paged(params, cfg: ModelConfig, tokens: jax.Array,
         if tp_axis is not None:
             ffn_out = jax.lax.psum(ffn_out, tp_axis)
         x = x + ffn_out
-        return (x, k_pool, v_pool), None
+        return (x, pools_out), None
 
-    (x, k_new, v_new), _ = jax.lax.scan(
-        body, (x, cache.k, cache.v),
-        jnp.arange(cfg.n_layers, dtype=jnp.int32))
+    pools0 = ((cache.k, cache.v, cache.ks, cache.vs) if kv_quant
+              else (cache.k, cache.v))
+    (x, pools), _ = jax.lax.scan(
+        body, (x, pools0), jnp.arange(cfg.n_layers, dtype=jnp.int32))
 
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
     logits = _linear(x, params["wcls"]).astype(jnp.float32)
     if tp_axis is not None:
         logits = jax.lax.all_gather(logits, tp_axis, axis=logits.ndim - 1,
                                     tiled=True)
-    return logits, PagedKVCache(k=k_new, v=v_new)
+    new_cache = (QuantPagedKVCache(*pools) if kv_quant
+                 else PagedKVCache(*pools))
+    return logits, new_cache
 
 
 def forward_paged(params, cfg: ModelConfig, tokens: jax.Array,
@@ -184,15 +234,26 @@ def forward_paged(params, cfg: ModelConfig, tokens: jax.Array,
 
     layer_params = {k: params[k] for k in _LAYER_KEYS if k in params}
     nkv = cache.k.shape[2]  # local KV head count (sharded under TP)
+    kv_quant = isinstance(cache, QuantPagedKVCache)
 
     def body(x, xs):
-        lp, k_pages, v_pages = xs                    # (P, nkv, ps, hd)
-        # gathered head-major dense view for this layer: (B, nkv, S, hd)
+        lp, pools = xs                               # each (P, nkv, ps, ..)
+        # gathered head-major dense view for this layer: (B, nkv, S, ..)
         def view(pages):
-            g = jnp.take(pages, tables, axis=0)      # (B, npages, nkv, ps, hd)
-            return g.transpose(0, 2, 1, 3, 4).reshape(b, nkv, s_max, -1)
+            g = jnp.take(pages, tables, axis=0)      # (B, npages, nkv, ps, ..)
+            lead = (0, 2, 1, 3) + ((4,) if pages.ndim == 4 else ())
+            g = g.transpose(*lead)
+            return g.reshape(b, nkv, s_max, *pages.shape[3:])
 
-        k_view, v_view = view(k_pages), view(v_pages)
+        if kv_quant:
+            from rama_tpu.models.llama import _dequant_kv, kv_quant_rows
+
+            k_pages, v_pages, ks_pages, vs_pages = pools
+            k_view, v_view = _dequant_kv(view(k_pages), view(v_pages),
+                                         view(ks_pages), view(vs_pages))
+        else:
+            k_pages, v_pages = pools
+            k_view, v_view = view(k_pages), view(v_pages)
         x, (k_view2, v_view2) = _layer(x, lp, (k_view, v_view), cos, sin,
                                        pos_index, pos_mask, cfg, tp_axis)
         # extract the newly written rows and scatter them into the pool
@@ -203,17 +264,29 @@ def forward_paged(params, cfg: ModelConfig, tokens: jax.Array,
         v_new = v_view2[bi, hi, pi]
         pg = write_page[:, :, None]                  # (B, T, 1)
         off = write_off[:, :, None]
+        if kv_quant:
+            kq, ksc = kv_quant_rows(k_new)
+            vq, vsc = kv_quant_rows(v_new)
+            k_pages = k_pages.at[pg, hi, off].set(kq)
+            v_pages = v_pages.at[pg, hi, off].set(vq)
+            ks_pages = ks_pages.at[pg, hi, off].set(ksc)
+            vs_pages = vs_pages.at[pg, hi, off].set(vsc)
+            return x, (k_pages, v_pages, ks_pages, vs_pages)
         k_pages = k_pages.at[pg, hi, off].set(k_new.astype(k_pages.dtype))
         v_pages = v_pages.at[pg, hi, off].set(v_new.astype(v_pages.dtype))
         return x, (k_pages, v_pages)
 
-    x, (k_new, v_new) = jax.lax.scan(body, x, (layer_params, cache.k, cache.v))
+    pools0 = ((cache.k, cache.v, cache.ks, cache.vs) if kv_quant
+              else (cache.k, cache.v))
+    x, pools = jax.lax.scan(body, x, (layer_params, pools0))
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
     logits = _linear(x, params["wcls"]).astype(jnp.float32)
     if tp_axis is not None:
         logits = jax.lax.all_gather(logits, tp_axis, axis=logits.ndim - 1,
                                     tiled=True)
-    return logits, PagedKVCache(k=k_new, v=v_new)
+    new_cache = (QuantPagedKVCache(*pools) if kv_quant
+                 else PagedKVCache(*pools))
+    return logits, new_cache
 
 
 def _paged_fused_supported(cfg: ModelConfig, page_size: int) -> bool:
@@ -249,10 +322,20 @@ def _insert_prefill_paged_impl(cache: PagedKVCache, k_strip, v_strip,
     off = (pos % ps)[:, None]
     hi = jnp.arange(nkv)[None, :]                                      # (1, nkv)
     # cache[l, pg, h, off] = strip[l, h, t]  -> value layout (L, T, nkv, hd)
-    val_k = k_strip.transpose(0, 2, 1, 3).astype(cache.k.dtype)
-    val_v = v_strip.transpose(0, 2, 1, 3).astype(cache.v.dtype)
-    k = cache.k.at[:, pg, hi, off].set(val_k)
-    v = cache.v.at[:, pg, hi, off].set(val_v)
+    val_k = k_strip.transpose(0, 2, 1, 3)
+    val_v = v_strip.transpose(0, 2, 1, 3)
+    if isinstance(cache, QuantPagedKVCache):
+        from rama_tpu.models.llama import kv_quant_rows
+
+        kq, ksc = kv_quant_rows(val_k)
+        vq, vsc = kv_quant_rows(val_v)
+        return QuantPagedKVCache(
+            k=cache.k.at[:, pg, hi, off].set(kq),
+            v=cache.v.at[:, pg, hi, off].set(vq),
+            ks=cache.ks.at[:, pg, hi, off].set(ksc),
+            vs=cache.vs.at[:, pg, hi, off].set(vsc))
+    k = cache.k.at[:, pg, hi, off].set(val_k.astype(cache.k.dtype))
+    v = cache.v.at[:, pg, hi, off].set(val_v.astype(cache.v.dtype))
     return PagedKVCache(k=k, v=v)
 
 

@@ -210,3 +210,90 @@ def test_paged_engine_with_tensor_parallelism(setup):
         finally:
             eng.stop()
     assert outs[1] == outs[2]
+
+
+def test_paged_q8_kernel_matches_dequant():
+    """INT8-pool ragged paged-attention kernel (interpret) vs dequantize-
+    gather-attend: non-contiguous tables, ragged positions."""
+    from rama_tpu.models.llama import _attention, _dequant_kv, kv_quant_rows
+    from rama_tpu.ops.pallas.paged_attention import (
+        paged_decode_attention_layer_q8)
+
+    L, P, nkv, ps, hd = 2, 9, 2, 16, 128
+    b, rep = 2, 2
+    nh = nkv * rep
+    mp = 3
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((b, nh, hd)).astype(np.float32))
+    k_pool, ks_pool = kv_quant_rows(jnp.asarray(
+        rng.standard_normal((L, P, nkv, ps, hd)).astype(np.float32)))
+    v_pool, vs_pool = kv_quant_rows(jnp.asarray(
+        rng.standard_normal((L, P, nkv, ps, hd)).astype(np.float32)))
+    tables = jnp.asarray([[4, 1, 7], [2, 5, 0]], jnp.int32)
+    pos = jnp.asarray([37, 5], jnp.int32)
+
+    for layer in range(L):
+        got = paged_decode_attention_layer_q8(
+            q, k_pool, v_pool, ks_pool, vs_pool, pos, tables,
+            jnp.int32(layer), interpret=True)
+        kd, vd = _dequant_kv(k_pool[layer], v_pool[layer],
+                             ks_pool[layer], vs_pool[layer], jnp.float32)
+        view = lambda pool: (jnp.take(pool, tables, axis=0)
+                             .transpose(0, 2, 1, 3, 4)
+                             .reshape(b, nkv, mp * ps, hd))
+        mask = (jnp.arange(mp * ps)[None, None, :] <= pos[:, None, None])
+        want = _attention(q[:, None], view(kd), view(vd), mask)[:, 0]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=5e-2, atol=5e-2,
+                                   err_msg=f"layer {layer}")
+
+
+def test_paged_engine_with_int8_kv(setup):
+    """paged + kv_quant=int8: the int8 page pool must reproduce the dense-slot
+    int8 engine's greedy streams (same quantization, different storage)."""
+    from rama_tpu.runtime.engine import Engine, Request
+    from tests.test_engine import collect, make_tokenizer
+
+    cfg, params = setup
+    tok = make_tokenizer(cfg.vocab_size)
+    outs = {}
+    for name, paged in (("paged", True), ("dense", False)):
+        ecfg = EngineConfig(max_batch_size=2, kv_quant="int8", paged_kv=paged,
+                            kv_page_size=16)
+        eng = Engine(cfg, params, tok, ecfg)
+        eng.start()
+        try:
+            reqs = [Request(prompt="ab", steps=6, temperature=0.0),
+                    Request(prompt="zq", steps=6, temperature=0.0)]
+            for r in reqs:
+                eng.submit(r)
+            outs[name] = [collect(r) for r in reqs]
+        finally:
+            eng.stop()
+    assert outs["paged"] == outs["dense"]
+
+
+def test_paged_q8_engine_with_tensor_parallelism(setup):
+    """paged + int8 pool + TP: scale pools shard with their KV-head rows."""
+    from rama_tpu.runtime.engine import Engine, Request
+    from tests.test_engine import collect, make_tokenizer
+
+    cfg, params = setup
+    if jax.device_count() < 2:
+        pytest.skip("needs >=2 devices")
+    tok = make_tokenizer(cfg.vocab_size)
+    outs = {}
+    for tp in (1, 2):
+        ecfg = EngineConfig(max_batch_size=2, paged_kv=True, kv_page_size=16,
+                            kv_quant="int8", tp_size=tp)
+        eng = Engine(cfg, params, tok, ecfg)
+        eng.start()
+        try:
+            reqs = [Request(prompt="abc", steps=5, temperature=0.0),
+                    Request(prompt="hello", steps=5, temperature=0.0)]
+            for r in reqs:
+                eng.submit(r)
+            outs[tp] = [collect(r) for r in reqs]
+        finally:
+            eng.stop()
+    assert outs[1] == outs[2]
