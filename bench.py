@@ -131,7 +131,7 @@ def correctness_gate(params, cfg):
           jnp.where(row_ok[..., None], want_pre, 0))
 
 
-def main():
+def main(bits: int = 8):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -141,14 +141,16 @@ def main():
     from rama_tpu.runtime.sampler import sample_greedy
 
     dev = jax.devices()[0]
-    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')} "
+        f"(int{bits} weights)")
 
     cfg = _flagship_config()
     t0 = time.time()
-    params = _random_quant_params(cfg)
+    params = _random_quant_params(cfg, bits=bits)
     params = jax.block_until_ready(params)
+    wbytes = 32 * (4096 * 4096 * 4 + 4096 * 11008 * 3) * bits // 8
     log(f"params on device in {time.time() - t0:.1f}s "
-        f"(~{32 * (4096 * 4096 * 4 + 4096 * 11008 * 3) / 1e9:.1f} GB int8)")
+        f"(~{wbytes / 1e9:.1f} GB int{bits})")
     log_mem(dev, "params")
 
     t0 = time.time()
@@ -204,12 +206,11 @@ def main():
         log(f"n={n}: best {best:.3f}s")
     per_step = (times[steps] - times[8]) / (steps - 8)
     tok_s = batch / per_step
-    weight_bytes = 32 * (4096 * 4096 * 4 + 4096 * 11008 * 3)  # int8 layer weights
-    log(f"effective weight-stream bandwidth: {weight_bytes / per_step / 1e9:.0f} GB/s")
+    log(f"effective weight-stream bandwidth: {wbytes / per_step / 1e9:.0f} GB/s")
 
     baseline = 2.42  # best published reference 7B row (i9-13900KF fp32)
     print(json.dumps({
-        "metric": "decode_tok_s_llama2_7b_int8_1chip",
+        "metric": f"decode_tok_s_llama2_7b_int{bits}_1chip",
         "value": round(tok_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / baseline, 2),
@@ -217,4 +218,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bits", type=int, default=8, choices=(4, 8),
+                    help="weight quantization of the benched model")
+    main(bits=ap.parse_args().bits)

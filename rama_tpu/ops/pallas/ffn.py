@@ -28,51 +28,26 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from rama_tpu.ops.pallas.quant_matmul import (_dot_dtype, dequant_int8,
+                                              dequant_int4_planes)
 from rama_tpu.ops.quant import QuantizedTensor
 
 
-def _dequant8(w8, scales, gs: int):
-    """(K, N) int8 + (K//gs, N) f32 -> (K, N) bf16 in VMEM."""
-    k, n = w8.shape
-    return (w8.astype(jnp.float32).reshape(k // gs, gs, n)
-            * scales[:, None, :]).reshape(k, n).astype(jnp.bfloat16)
-
-
-def _dequant4(packed, scales, gs: int):
-    """Block-local packed int4 (K//2, N) + (K//gs, N) f32 -> (K, N) bf16.
-
-    Byte row j of block b holds logical rows (2b*gs + j) [low nibble] and
-    (2b*gs + gs + j) [high nibble] -- same packing as ops.quant.quantize_int4.
-    Mosaic can't legalize shifts on int8 vectors; unpack in int32.
-    """
-    p32 = packed.astype(jnp.int32)
-    k2, n = p32.shape
+def _dequant4(packed, scales, gs: int, dot_dtype):
+    """Block-local packed int4 (K//2, N) + (K//gs, N) f32 -> (K, N), planes
+    interleaved back into logical row order (phase B's h scratch is in
+    natural hidden order, so the plane-dot trick doesn't apply there)."""
+    k2, n = packed.shape
     nb = k2 // gs
-    lo = ((p32 << 28) >> 28).astype(jnp.float32)
-    hi = (p32 >> 4).astype(jnp.float32)
+    wlo, whi = dequant_int4_planes(packed, scales, gs, jnp.float32)
     w = jnp.concatenate(
-        [lo.reshape(nb, 1, gs, n), hi.reshape(nb, 1, gs, n)], axis=1)
-    s = scales.reshape(nb, 2, 1, n)
-    return (w * s).reshape(k2 * 2, n).astype(jnp.bfloat16)
-
-
-def _dequant4_planes(packed, scales, gs: int):
-    """Like _dequant4 but returns the two nibble planes separately (each
-    (K//2, N) bf16, scaled) so the caller can run two plane dots against
-    pre-split x columns instead of paying the interleaving concat."""
-    p32 = packed.astype(jnp.int32)
-    k2, n = p32.shape
-    nb = k2 // gs
-    lo = ((p32 << 28) >> 28).astype(jnp.float32)
-    hi = (p32 >> 4).astype(jnp.float32)
-    s = scales.reshape(nb, 2, n)
-    wlo = (lo.reshape(nb, gs, n) * s[:, 0:1, :]).reshape(k2, n)
-    whi = (hi.reshape(nb, gs, n) * s[:, 1:2, :]).reshape(k2, n)
-    return wlo.astype(jnp.bfloat16), whi.astype(jnp.bfloat16)
+        [wlo.reshape(nb, 1, gs, n), whi.reshape(nb, 1, gs, n)], axis=1)
+    w = w.reshape(k2 * 2, n)
+    return w if dot_dtype == jnp.float32 else w.astype(dot_dtype)
 
 
 def _kernel(l_ref, *refs, gs13: int, gs2: int, nh: int, nn: int, bh: int,
-            bits: int, out_dtype):
+            bits: int, out_dtype, dot_dtype):
     if bits == 8:
         (x_ref, q1_ref, s1_ref, q3_ref, s3_ref, q2_ref, s2_ref,
          o_ref, h_ref) = refs
@@ -80,22 +55,23 @@ def _kernel(l_ref, *refs, gs13: int, gs2: int, nh: int, nn: int, bh: int,
         (xlo_ref, xhi_ref, q1_ref, s1_ref, q3_ref, s3_ref, q2_ref, s2_ref,
          o_ref, h_ref) = refs
     p = pl.program_id(0)
-    dequant = _dequant8 if bits == 8 else _dequant4
     kpack = 1 if bits == 8 else 2
 
     @pl.when(p < nh)
     def _():
         if bits == 8:
-            x = x_ref[...].astype(jnp.bfloat16)         # (M, K)
-            a = jnp.dot(x, dequant(q1_ref[0], s1_ref[0], gs13),
+            x = x_ref[...].astype(dot_dtype)            # (M, K)
+            a = jnp.dot(x, dequant_int8(q1_ref[0], s1_ref[0], gs13, dot_dtype),
                         preferred_element_type=jnp.float32)  # (M, bh)
-            c = jnp.dot(x, dequant(q3_ref[0], s3_ref[0], gs13),
+            c = jnp.dot(x, dequant_int8(q3_ref[0], s3_ref[0], gs13, dot_dtype),
                         preferred_element_type=jnp.float32)
         else:
-            xlo = xlo_ref[...].astype(jnp.bfloat16)     # (M, K//2)
-            xhi = xhi_ref[...].astype(jnp.bfloat16)
-            w1lo, w1hi = _dequant4_planes(q1_ref[0], s1_ref[0], gs13)
-            w3lo, w3hi = _dequant4_planes(q3_ref[0], s3_ref[0], gs13)
+            xlo = xlo_ref[...].astype(dot_dtype)        # (M, K//2)
+            xhi = xhi_ref[...].astype(dot_dtype)
+            w1lo, w1hi = dequant_int4_planes(q1_ref[0], s1_ref[0], gs13,
+                                             dot_dtype)
+            w3lo, w3hi = dequant_int4_planes(q3_ref[0], s3_ref[0], gs13,
+                                             dot_dtype)
             a = (jnp.dot(xlo, w1lo, preferred_element_type=jnp.float32)
                  + jnp.dot(xhi, w1hi, preferred_element_type=jnp.float32))
             c = (jnp.dot(xlo, w3lo, preferred_element_type=jnp.float32)
@@ -108,9 +84,12 @@ def _kernel(l_ref, *refs, gs13: int, gs2: int, nh: int, nn: int, bh: int,
         # static unroll over the hidden tiles resident in scratch: static
         # slice offsets keep Mosaic's sublane alignment rules trivially met
         for j in range(nh):
-            w2j = dequant(q2_ref[0, j * (bh // kpack):(j + 1) * (bh // kpack)],
-                          s2_ref[0, j * (bh // gs2):(j + 1) * (bh // gs2)], gs2)
-            acc += jnp.dot(h_ref[j], w2j, preferred_element_type=jnp.float32)
+            qs = q2_ref[0, j * (bh // kpack):(j + 1) * (bh // kpack)]
+            ss = s2_ref[0, j * (bh // gs2):(j + 1) * (bh // gs2)]
+            w2j = (dequant_int8(qs, ss, gs2, dot_dtype) if bits == 8
+                   else _dequant4(qs, ss, gs2, dot_dtype))
+            acc += jnp.dot(h_ref[j].astype(dot_dtype), w2j,
+                           preferred_element_type=jnp.float32)
         o_ref[...] = acc.astype(out_dtype)
 
 
@@ -212,7 +191,7 @@ def ffn_fused_layered(x: jax.Array, w13: QuantizedTensor, w2: QuantizedTensor,
     )
     return pl.pallas_call(
         partial(_kernel, gs13=gs13, gs2=gs2, nh=nh, nn=nn, bh=bh, bits=bits,
-                out_dtype=x.dtype),
+                out_dtype=x.dtype, dot_dtype=_dot_dtype(m)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
         compiler_params=pltpu.CompilerParams(

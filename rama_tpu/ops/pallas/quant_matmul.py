@@ -28,20 +28,65 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rama_tpu.ops.quant import QuantizedTensor
 
+def _dot_dtype(bm: int):
+    """Dot input dtype: f32 at decode block sizes (the MXU is idle at small M
+    and skipping the f32->bf16 cast of the dequantized weight block measures
+    faster); bf16 at prefill sizes where the dot itself is the bottleneck."""
+    return jnp.bfloat16 if bm >= 64 else jnp.float32
 
-def _kernel_int8(x_ref, q_ref, s_ref, o_ref, acc_ref, *, gs: int, out_dtype):
+
+def dequant_int8(w8, scales, gs: int, dot_dtype=jnp.float32):
+    """(bk, bn) int8 + (bk//gs, bn) f32 scales -> (bk, bn) dot_dtype.
+
+    Plain convert-then-scale: for whole bytes one i8->f32 convert beats the
+    magic-bias bit trick (which needs xor+and+or per byte — measured 547 vs
+    628 GB/s, tools/bench_quant_variants.py); for nibbles the trick wins,
+    see dequant_int4_planes.
+
+    (pltpu.repeat tiles rather than element-repeats, so the per-group scale
+    broadcast goes through reshape instead.)
+    """
+    k, n = w8.shape
+    w = (w8.astype(jnp.float32).reshape(k // gs, gs, n)
+         * scales[:, None, :]).reshape(k, n)
+    return w if dot_dtype == jnp.float32 else w.astype(dot_dtype)
+
+
+def dequant_int4_planes(packed, scales, gs: int, dot_dtype=jnp.float32):
+    """Block-local packed int4 (bk//2, bn) -> (wlo, whi) nibble planes, each
+    (bk//2, bn) dot_dtype and scaled.
+
+    Byte row j of block b carries logical rows (2b*gs + j) [low nibble] and
+    (2b*gs + gs + j) [high nibble] — ops.quant.quantize_int4's layout. Each
+    plane covers CONTIGUOUS gs-row runs of x, so callers dot the planes
+    against pre-split x columns instead of paying an interleaving concat.
+
+    Mosaic can't legalize shifts on int8 vectors, so unpack happens in i32.
+    (A magic-bias mantissa-splice variant measured slightly SLOWER on the
+    device timeline — i32->f32 convert is single-cycle on v5e, so trading it
+    for xor/and/or bit ops loses; tools/bench_quant_variants.py.)
+    """
+    p32 = packed.astype(jnp.int32)
+    k2, n = p32.shape
+    nb = k2 // gs
+    lo = ((p32 << 28) >> 28).astype(jnp.float32)     # sign-extended low nibble
+    hi = (p32 >> 4).astype(jnp.float32)              # int8 sign == nibble sign
+    s = scales.reshape(nb, 2, n)
+    wlo = (lo.reshape(nb, gs, n) * s[:, 0:1, :]).reshape(k2, n)
+    whi = (hi.reshape(nb, gs, n) * s[:, 1:2, :]).reshape(k2, n)
+    if dot_dtype != jnp.float32:
+        wlo, whi = wlo.astype(dot_dtype), whi.astype(dot_dtype)
+    return wlo, whi
+
+
+def _kernel_int8(x_ref, q_ref, s_ref, o_ref, acc_ref, *, gs: int, out_dtype,
+                 dot_dtype):
     @pl.when(pl.program_id(2) == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    w8 = q_ref[...]                                  # (bk, bn) int8
-    bk, bn = w8.shape
-    scales = s_ref[...]                              # (bk//gs, bn) f32
-    # per-group dequant: split K into (groups, gs), broadcast scales, rejoin.
-    # (pltpu.repeat tiles rather than element-repeats, so it can't be used.)
-    w = (w8.astype(jnp.float32).reshape(bk // gs, gs, bn)
-         * scales[:, None, :]).reshape(bk, bn).astype(jnp.bfloat16)
-    acc_ref[...] += jnp.dot(x_ref[...].astype(jnp.bfloat16), w,
+    w = dequant_int8(q_ref[...], s_ref[...], gs, dot_dtype)
+    acc_ref[...] += jnp.dot(x_ref[...].astype(dot_dtype), w,
                             preferred_element_type=jnp.float32)
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
@@ -50,31 +95,17 @@ def _kernel_int8(x_ref, q_ref, s_ref, o_ref, acc_ref, *, gs: int, out_dtype):
 
 
 def _kernel_int4(xlo_ref, xhi_ref, q_ref, s_ref, o_ref, acc_ref, *, gs: int,
-                 out_dtype):
-    """Block-local packed int4: byte row j of block b carries logical rows
-    (2b*gs + j) [low nibble] and (2b*gs + gs + j) [high nibble]. Each nibble
-    plane covers CONTIGUOUS gs-row runs of x, so instead of interleaving the
-    planes back into one (bk, bn) weight (a measured ~10% concat tax on the
-    int4 stream), the matmul runs as two plane dots against x's lo/hi column
-    planes (precomputed outside the kernel — x is tiny next to w)."""
+                 out_dtype, dot_dtype):
+    """Two plane dots against x's lo/hi column planes (precomputed outside
+    the kernel — x is tiny next to w); see dequant_int4_planes."""
     @pl.when(pl.program_id(2) == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # Mosaic can't legalize shifts on int8 vectors; unpack in int32.
-    p32 = q_ref[...].astype(jnp.int32)               # (bk//2, bn)
-    bk2, bn = p32.shape
-    nb = bk2 // gs
-    lo = ((p32 << 28) >> 28).astype(jnp.float32)     # sign-extended low nibble
-    hi = (p32 >> 4).astype(jnp.float32)              # int8 sign == nibble sign
-    s = s_ref[...].reshape(nb, 2, bn)                # (bk//gs, bn) regrouped
-    wlo = (lo.reshape(nb, gs, bn) * s[:, 0:1, :]).reshape(bk2, bn)
-    whi = (hi.reshape(nb, gs, bn) * s[:, 1:2, :]).reshape(bk2, bn)
-    acc_ref[...] += jnp.dot(xlo_ref[...].astype(jnp.bfloat16),
-                            wlo.astype(jnp.bfloat16),
+    wlo, whi = dequant_int4_planes(q_ref[...], s_ref[...], gs, dot_dtype)
+    acc_ref[...] += jnp.dot(xlo_ref[...].astype(dot_dtype), wlo,
                             preferred_element_type=jnp.float32)
-    acc_ref[...] += jnp.dot(xhi_ref[...].astype(jnp.bfloat16),
-                            whi.astype(jnp.bfloat16),
+    acc_ref[...] += jnp.dot(xhi_ref[...].astype(dot_dtype), whi,
                             preferred_element_type=jnp.float32)
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
@@ -83,7 +114,7 @@ def _kernel_int4(xlo_ref, xhi_ref, q_ref, s_ref, o_ref, acc_ref, *, gs: int,
 
 
 def _kernel_int8_layered(l_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *,
-                         gs: int, out_dtype):
+                         gs: int, out_dtype, dot_dtype):
     """int8 kernel over stacked (L, K, N) weights: the grid's index maps pick
     layer l_ref[0] directly out of HBM, so the layer scan never materializes
     a per-layer weight copy (profiled at >50% of decode step time)."""
@@ -91,12 +122,8 @@ def _kernel_int8_layered(l_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *,
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    w8 = q_ref[0]                                    # (bk, bn) int8
-    bk, bn = w8.shape
-    scales = s_ref[0]                                # (bk//gs, bn) f32
-    w = (w8.astype(jnp.float32).reshape(bk // gs, gs, bn)
-         * scales[:, None, :]).reshape(bk, bn).astype(jnp.bfloat16)
-    acc_ref[...] += jnp.dot(x_ref[...].astype(jnp.bfloat16), w,
+    w = dequant_int8(q_ref[0], s_ref[0], gs, dot_dtype)
+    acc_ref[...] += jnp.dot(x_ref[...].astype(dot_dtype), w,
                             preferred_element_type=jnp.float32)
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
@@ -105,25 +132,16 @@ def _kernel_int8_layered(l_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *,
 
 
 def _kernel_int4_layered(l_ref, xlo_ref, xhi_ref, q_ref, s_ref, o_ref,
-                         acc_ref, *, gs: int, out_dtype):
+                         acc_ref, *, gs: int, out_dtype, dot_dtype):
     """Layer-indexed variant of _kernel_int4 (same two-plane-dot scheme)."""
     @pl.when(pl.program_id(2) == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    p32 = q_ref[0].astype(jnp.int32)                 # (bk//2, bn)
-    bk2, bn = p32.shape
-    nb = bk2 // gs
-    lo = ((p32 << 28) >> 28).astype(jnp.float32)
-    hi = (p32 >> 4).astype(jnp.float32)
-    s = s_ref[0].reshape(nb, 2, bn)
-    wlo = (lo.reshape(nb, gs, bn) * s[:, 0:1, :]).reshape(bk2, bn)
-    whi = (hi.reshape(nb, gs, bn) * s[:, 1:2, :]).reshape(bk2, bn)
-    acc_ref[...] += jnp.dot(xlo_ref[...].astype(jnp.bfloat16),
-                            wlo.astype(jnp.bfloat16),
+    wlo, whi = dequant_int4_planes(q_ref[0], s_ref[0], gs, dot_dtype)
+    acc_ref[...] += jnp.dot(xlo_ref[...].astype(dot_dtype), wlo,
                             preferred_element_type=jnp.float32)
-    acc_ref[...] += jnp.dot(xhi_ref[...].astype(jnp.bfloat16),
-                            whi.astype(jnp.bfloat16),
+    acc_ref[...] += jnp.dot(xhi_ref[...].astype(dot_dtype), whi,
                             preferred_element_type=jnp.float32)
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
@@ -174,7 +192,7 @@ def quant_matmul_layered(x: jax.Array, qt: QuantizedTensor, layer: jax.Array,
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
     )
     out = pl.pallas_call(
-        partial(kernel, gs=gs, out_dtype=x.dtype),
+        partial(kernel, gs=gs, out_dtype=x.dtype, dot_dtype=_dot_dtype(bm)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((mp, n), x.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -257,7 +275,8 @@ def quant_matmul(x: jax.Array, qt: QuantizedTensor, *, block_m: int = 256,
     if qt.bits == 8:
         grid = (mp // bm, n // bn, k // bk)
         out = pl.pallas_call(
-            partial(_kernel_int8, gs=gs, out_dtype=x.dtype),
+            partial(_kernel_int8, gs=gs, out_dtype=x.dtype,
+                    dot_dtype=_dot_dtype(bm)),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
@@ -278,7 +297,8 @@ def quant_matmul(x: jax.Array, qt: QuantizedTensor, *, block_m: int = 256,
         grid = (mp // bm, n // bn, k // bk)
         x_lo, x_hi = _split_x_planes(x, gs)
         out = pl.pallas_call(
-            partial(_kernel_int4, gs=gs, out_dtype=x.dtype),
+            partial(_kernel_int4, gs=gs, out_dtype=x.dtype,
+                    dot_dtype=_dot_dtype(bm)),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((bm, bk // 2), lambda i, j, kk: (i, kk)),
