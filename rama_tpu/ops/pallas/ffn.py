@@ -46,8 +46,30 @@ def _dequant4(packed, scales, gs: int, dot_dtype):
     return w if dot_dtype == jnp.float32 else w.astype(dot_dtype)
 
 
+def _acc_dots(xlo_ref, xhi_ref, q_ref, s_ref, gs: int):
+    """Accscale matmul for one packed-int4 weight block: per-group dots of
+    raw nibbles, scales applied to the (M, bh) partials (exact numerics;
+    see quant_matmul._kernel_int4_acc). x planes arrive pre-grouped
+    (groups, M, gs)."""
+    p32 = q_ref[0].astype(jnp.int32)
+    bk2, bn = p32.shape
+    nb = bk2 // gs
+    lo = ((p32 << 28) >> 28).astype(jnp.float32)
+    hi = (p32 >> 4).astype(jnp.float32)
+    s = s_ref[0].reshape(nb, 2, bn)
+    acc = jnp.zeros((xlo_ref.shape[1], bn), jnp.float32)
+    for g in range(nb):
+        rows = slice(g * gs, (g + 1) * gs)
+        plo = jnp.dot(xlo_ref[g].astype(jnp.float32), lo[rows],
+                      preferred_element_type=jnp.float32)
+        phi = jnp.dot(xhi_ref[g].astype(jnp.float32), hi[rows],
+                      preferred_element_type=jnp.float32)
+        acc += plo * s[g, 0] + phi * s[g, 1]
+    return acc
+
+
 def _kernel(l_ref, *refs, gs13: int, gs2: int, nh: int, nn: int, bh: int,
-            bits: int, out_dtype, dot_dtype):
+            bits: int, out_dtype, dot_dtype, acc_mode: bool):
     if bits == 8:
         (x_ref, q1_ref, s1_ref, q3_ref, s3_ref, q2_ref, s2_ref,
          o_ref, h_ref) = refs
@@ -65,6 +87,10 @@ def _kernel(l_ref, *refs, gs13: int, gs2: int, nh: int, nn: int, bh: int,
                         preferred_element_type=jnp.float32)  # (M, bh)
             c = jnp.dot(x, dequant_int8(q3_ref[0], s3_ref[0], gs13, dot_dtype),
                         preferred_element_type=jnp.float32)
+        elif acc_mode:
+            # decode: x planes pre-grouped (nb, M, gs); scales on partials
+            a = _acc_dots(xlo_ref, xhi_ref, q1_ref, s1_ref, gs13)
+            c = _acc_dots(xlo_ref, xhi_ref, q3_ref, s3_ref, gs13)
         else:
             xlo = xlo_ref[...].astype(dot_dtype)        # (M, K//2)
             xhi = xhi_ref[...].astype(dot_dtype)
@@ -154,9 +180,17 @@ def ffn_fused_layered(x: jax.Array, w13: QuantizedTensor, w2: QuantizedTensor,
     bn = _pick_tile(n, 256, 128)
     nh, nn = h // bh, n // bn    # w13 column blocks: W3 starts at block nh
 
+    acc_mode = bits == 4 and m <= 32
     if bits == 8:
         x_specs = [pl.BlockSpec((m, k), lambda p, sc: (0, 0))]
         x_ops = (x,)
+    elif acc_mode:
+        from rama_tpu.ops.pallas.quant_matmul import _group_x_planes
+
+        nbt = k // (2 * gs13)
+        x_specs = [pl.BlockSpec((nbt, m, gs13), lambda p, sc: (0, 0, 0)),
+                   pl.BlockSpec((nbt, m, gs13), lambda p, sc: (0, 0, 0))]
+        x_ops = _group_x_planes(x, gs13)
     else:
         from rama_tpu.ops.pallas.quant_matmul import _split_x_planes
 
@@ -191,7 +225,8 @@ def ffn_fused_layered(x: jax.Array, w13: QuantizedTensor, w2: QuantizedTensor,
     )
     return pl.pallas_call(
         partial(_kernel, gs13=gs13, gs2=gs2, nh=nh, nn=nn, bh=bh, bits=bits,
-                out_dtype=x.dtype, dot_dtype=_dot_dtype(m)),
+                out_dtype=x.dtype, dot_dtype=_dot_dtype(m),
+                acc_mode=acc_mode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
         compiler_params=pltpu.CompilerParams(

@@ -113,6 +113,69 @@ def _kernel_int4(xlo_ref, xhi_ref, q_ref, s_ref, o_ref, acc_ref, *, gs: int,
         o_ref[...] = acc_ref[...].astype(out_dtype)
 
 
+def _kernel_int4_acc(xlo_ref, xhi_ref, q_ref, s_ref, o_ref, acc_ref, *,
+                     gs: int, out_dtype):
+    """Decode-path int4 kernel: per-group dots of RAW nibbles with the scales
+    applied to the (M, bn) group partials — the scale multiply moves off the
+    weight-sized tensor onto the accumulator (exact numerics, associativity
+    aside). x planes arrive pre-grouped as (groups, M, gs) so the kernel
+    never reshapes across the lane dim. Measured 690 GB/s effective at
+    bk=4096/bn=1024 vs 402 for dequant-in-VMEM (tools/bench_int4_blocks.py);
+    only worthwhile at small M (the per-group depth-gs dots underfill the
+    MXU, which is idle at decode anyway)."""
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    p32 = q_ref[...].astype(jnp.int32)
+    bk2, bn = p32.shape
+    nb = bk2 // gs
+    lo = ((p32 << 28) >> 28).astype(jnp.float32)
+    hi = (p32 >> 4).astype(jnp.float32)
+    s = s_ref[...].reshape(nb, 2, bn)
+    acc = acc_ref[...]
+    for g in range(nb):
+        rows = slice(g * gs, (g + 1) * gs)
+        plo = jnp.dot(xlo_ref[g].astype(jnp.float32), lo[rows],
+                      preferred_element_type=jnp.float32)
+        phi = jnp.dot(xhi_ref[g].astype(jnp.float32), hi[rows],
+                      preferred_element_type=jnp.float32)
+        acc += plo * s[g, 0] + phi * s[g, 1]
+    acc_ref[...] = acc
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+def _kernel_int4_acc_layered(l_ref, xlo_ref, xhi_ref, q_ref, s_ref, o_ref,
+                             acc_ref, *, gs: int, out_dtype):
+    """Layer-indexed _kernel_int4_acc (stacked (L, K//2, N) weights)."""
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    p32 = q_ref[0].astype(jnp.int32)
+    bk2, bn = p32.shape
+    nb = bk2 // gs
+    lo = ((p32 << 28) >> 28).astype(jnp.float32)
+    hi = (p32 >> 4).astype(jnp.float32)
+    s = s_ref[0].reshape(nb, 2, bn)
+    acc = acc_ref[...]
+    for g in range(nb):
+        rows = slice(g * gs, (g + 1) * gs)
+        plo = jnp.dot(xlo_ref[g].astype(jnp.float32), lo[rows],
+                      preferred_element_type=jnp.float32)
+        phi = jnp.dot(xhi_ref[g].astype(jnp.float32), hi[rows],
+                      preferred_element_type=jnp.float32)
+        acc += plo * s[g, 0] + phi * s[g, 1]
+    acc_ref[...] = acc
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
 def _kernel_int8_layered(l_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *,
                          gs: int, out_dtype, dot_dtype):
     """int8 kernel over stacked (L, K, N) weights: the grid's index maps pick
@@ -161,25 +224,43 @@ def quant_matmul_layered(x: jax.Array, qt: QuantizedTensor, layer: jax.Array,
     assert k == kq, f"K mismatch: x {k} vs qt {kq}"
     gs = qt.group_size
 
-    bk = (_pick_k_block(k, block_k, gs) if qt.bits == 8
-          else _pick_k_block_int4(k, block_k, gs))
-    bn = _pick_block(n, block_n, 128)
-    bm = min(m, block_m)
-    if m % bm:
-        x = jnp.pad(x, ((0, bm - m % bm), (0, 0)))
-    mp = x.shape[0]
-
-    if qt.bits == 4:
-        x_specs = [pl.BlockSpec((bm, bk // 2), lambda i, j, kk, l: (i, kk)),
-                   pl.BlockSpec((bm, bk // 2), lambda i, j, kk, l: (i, kk))]
-        x_ops = _split_x_planes(x, gs)
-        kernel = _kernel_int4_layered
+    acc_bk = (_pick_k_block_int4_acc(k, _pick_block(n, 1024, 128), gs)
+              if qt.bits == 4 and m <= 32 else None)
+    if acc_bk is not None:
+        # decode path: accscale kernel, big blocks (see _kernel_int4_acc)
+        bn = _pick_block(n, 1024, 128)
+        bk = acc_bk
+        bm = m
+        nbt = bk // (2 * gs)
+        x_specs = [
+            pl.BlockSpec((nbt, bm, gs), lambda i, j, kk, l: (kk, 0, 0)),
+            pl.BlockSpec((nbt, bm, gs), lambda i, j, kk, l: (kk, 0, 0))]
+        x_ops = _group_x_planes(x, gs)
+        kernel = partial(_kernel_int4_acc_layered, gs=gs, out_dtype=x.dtype)
         k_pack = 2
+        mp = m
     else:
-        x_specs = [pl.BlockSpec((bm, bk), lambda i, j, kk, l: (i, kk))]
-        x_ops = (x,)
-        kernel = _kernel_int8_layered
-        k_pack = 1
+        bk = (_pick_k_block(k, block_k, gs) if qt.bits == 8
+              else _pick_k_block_int4(k, block_k, gs))
+        bn = _pick_block(n, block_n, 128)
+        bm = min(m, block_m)
+        if m % bm:
+            x = jnp.pad(x, ((0, bm - m % bm), (0, 0)))
+        mp = x.shape[0]
+
+        if qt.bits == 4:
+            x_specs = [pl.BlockSpec((bm, bk // 2), lambda i, j, kk, l: (i, kk)),
+                       pl.BlockSpec((bm, bk // 2), lambda i, j, kk, l: (i, kk))]
+            x_ops = _split_x_planes(x, gs)
+            kernel = partial(_kernel_int4_layered, gs=gs, out_dtype=x.dtype,
+                             dot_dtype=_dot_dtype(bm))
+            k_pack = 2
+        else:
+            x_specs = [pl.BlockSpec((bm, bk), lambda i, j, kk, l: (i, kk))]
+            x_ops = (x,)
+            kernel = partial(_kernel_int8_layered, gs=gs, out_dtype=x.dtype,
+                             dot_dtype=_dot_dtype(bm))
+            k_pack = 1
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -192,7 +273,7 @@ def quant_matmul_layered(x: jax.Array, qt: QuantizedTensor, layer: jax.Array,
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
     )
     out = pl.pallas_call(
-        partial(kernel, gs=gs, out_dtype=x.dtype, dot_dtype=_dot_dtype(bm)),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((mp, n), x.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -244,6 +325,30 @@ def _pick_k_block_int4(k: int, target: int, gs: int) -> int:
     return max(cands) if cands else k
 
 
+def _pick_k_block_int4_acc(k: int, bn: int, gs: int,
+                           max_groups: int = 96) -> int | None:
+    """K tile for the accscale decode kernel: big blocks win (the DMA floor
+    at 256 KB blocks is ~620 GB/s vs ~746 at 2 MB), bounded by ~6 MB of
+    VMEM per packed block and by the static per-group dot unroll
+    (2*max_groups dots). None when no legal tile exists (callers fall back
+    to the dequant-in-VMEM kernel)."""
+    limit = min(k, (6 * 1024 * 1024) // bn * 2, max_groups * 2 * gs)
+    cands = [d for d in range(2 * gs, limit + 1, 2 * gs)
+             if k % d == 0 and (d // gs) % 8 == 0 and d % 256 == 0]
+    return max(cands) if cands else None
+
+
+def _group_x_planes(x: jax.Array, gs: int):
+    """x (M, K) -> (xlo_g, xhi_g), each (K//(2*gs), M, gs): the nibble-plane
+    columns regrouped so the accscale kernels can index whole (M, gs) group
+    slabs without lane-dim reshapes (Mosaic can't shape-cast lanes)."""
+    m, k = x.shape
+    xlo, xhi = _split_x_planes(x, gs)
+    nbt = k // (2 * gs)
+    return (xlo.reshape(m, nbt, gs).transpose(1, 0, 2),
+            xhi.reshape(m, nbt, gs).transpose(1, 0, 2))
+
+
 @partial(jax.jit, static_argnames=("block_m", "block_k", "block_n", "interpret"))
 def quant_matmul(x: jax.Array, qt: QuantizedTensor, *, block_m: int = 256,
                  block_k: int = 1024, block_n: int = 512,
@@ -290,6 +395,36 @@ def quant_matmul(x: jax.Array, qt: QuantizedTensor, *, block_m: int = 256,
             ),
             **common,
         )(x, qt.q, qt.scales)
+    elif (acc_bk := _pick_k_block_int4_acc(k, _pick_block(n, 1024, 128), gs)
+          if m <= 32 else None) is not None:
+        # decode path: accscale kernel, big blocks (see _kernel_int4_acc)
+        bn = _pick_block(n, 1024, 128)
+        bk = acc_bk
+        nbt = bk // (2 * gs)
+        xlo_g, xhi_g = _group_x_planes(x[:m], gs)
+        out = pl.pallas_call(
+            partial(_kernel_int4_acc, gs=gs, out_dtype=x.dtype),
+            grid=(1, n // bn, k // bk),
+            in_specs=[
+                pl.BlockSpec((nbt, m, gs), lambda i, j, kk: (kk, 0, 0)),
+                pl.BlockSpec((nbt, m, gs), lambda i, j, kk: (kk, 0, 0)),
+                pl.BlockSpec((bk // 2, bn), lambda i, j, kk: (kk, j)),
+                pl.BlockSpec((bk // gs, bn), lambda i, j, kk: (kk, j)),
+            ],
+            out_specs=pl.BlockSpec((m, bn), lambda i, j, kk: (i, j)),
+            out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+            scratch_shapes=[pltpu.VMEM((m, bn), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * m * k * n,
+                bytes_accessed=m * k * 2 + (k * n) // 2 + m * n * 2,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(xlo_g, xhi_g, qt.q, qt.scales)
+        return out
     else:
         # block-local packing: a K tile of bk logical rows is bk/2 packed
         # byte rows and bk/gs scale rows, all block-aligned by construction.

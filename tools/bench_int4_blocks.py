@@ -51,22 +51,36 @@ def k4_v8(l_ref, xlo_ref, xhi_ref, q_ref, s_ref, o_ref, acc_ref, *, gs,
 def main():
     dev = jax.devices()[0]
     B.log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+    only = sys.argv[1] if len(sys.argv) > 1 else None
     kq, ks = jax.random.split(jax.random.PRNGKey(7))
-    q = jax.random.randint(kq, (B.L, B.K // 2, B.N), -127, 127, jnp.int8)
-    scales = (jax.random.uniform(ks, (B.L, B.K // B.GS, B.N), jnp.float32)
-              * 0.02 + 0.01)
-    qt = QuantizedTensor(q=q, scales=scales, group_size=B.GS, bits=4)
 
-    for bk, bn in ((1024, 512), (2048, 512), (2048, 1024), (4096, 512),
-                   (4096, 1024), (4096, 1536), (4096, 3072)):
-        B.log(f"== blocks bk={bk} bn={bn} ==")
-        B.time_variant(f"floor", B.k4_v5, 4, qt, skip_check=True,
-                       block_k=bk, block_n=bn)
-        ref = None
-        per, ref = B.time_variant(f"v3", B.k4_v3, 4, qt, grouped_x=True,
-                                  block_k=bk, block_n=bn)
-        B.time_variant(f"v8-zp", k4_v8, 4, qt, grouped_x=True,
-                       skip_check=True, block_k=bk, block_n=bn)
+    if only in (None, "4"):
+        q = jax.random.randint(kq, (B.L, B.K // 2, B.N), -127, 127, jnp.int8)
+        scales = (jax.random.uniform(ks, (B.L, B.K // B.GS, B.N), jnp.float32)
+                  * 0.02 + 0.01)
+        qt = QuantizedTensor(q=q, scales=scales, group_size=B.GS, bits=4)
+        for bk, bn in ((1024, 512), (2048, 512), (2048, 1024), (4096, 512),
+                       (4096, 1024), (4096, 1536), (4096, 3072)):
+            B.log(f"== int4 blocks bk={bk} bn={bn} ==")
+            B.time_variant("floor", B.k4_v5, 4, qt, skip_check=True,
+                           block_k=bk, block_n=bn)
+            B.time_variant("v3", B.k4_v3, 4, qt, grouped_x=True,
+                           block_k=bk, block_n=bn)
+            B.time_variant("v8-zp", k4_v8, 4, qt, grouped_x=True,
+                           skip_check=True, block_k=bk, block_n=bn)
+        del q, scales, qt
+
+    if only in (None, "8"):
+        q = jax.random.randint(kq, (B.L, B.K, B.N), -127, 127, jnp.int8)
+        scales = (jax.random.uniform(ks, (B.L, B.K // B.GS, B.N), jnp.float32)
+                  * 0.02 + 0.01)
+        qt = QuantizedTensor(q=q, scales=scales, group_size=B.GS, bits=8)
+        for bk, bn in ((1024, 512), (2048, 512), (2048, 1024),
+                       (4096, 1024), (4096, 1536)):
+            B.log(f"== int8 blocks bk={bk} bn={bn} ==")
+            B.time_variant("v0", B.k8_v0, 8, qt, block_k=bk, block_n=bn)
+            B.time_variant("v2-accscale", B.k8_v2, 8, qt, grouped_x=True,
+                           block_k=bk, block_n=bn)
 
 
 if __name__ == "__main__":
