@@ -176,6 +176,54 @@ def _kernel_int4_acc_layered(l_ref, xlo_ref, xhi_ref, q_ref, s_ref, o_ref,
         o_ref[...] = acc_ref[...].astype(out_dtype)
 
 
+def _kernel_int8_acc(x_ref, q_ref, s_ref, o_ref, acc_ref, *, gs: int,
+                     out_dtype):
+    """Decode-path int8 kernel: per-group dots of raw (converted, unscaled)
+    int8 rows, scales applied to the (M, bn) partials. Device-timeline:
+    72.3us vs 86.4 for dequant-in-VMEM at 4096x12288 (739 vs 619 GB/s);
+    most of the win is the bk=2048 blocks, the accumulator scaling adds
+    ~3% (tools/bench_int4_blocks.py)."""
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = q_ref[...].astype(jnp.float32)
+    s = s_ref[...]
+    nb = w.shape[0] // gs
+    acc = acc_ref[...]
+    for g in range(nb):
+        acc += jnp.dot(x_ref[g].astype(jnp.float32),
+                       w[g * gs:(g + 1) * gs],
+                       preferred_element_type=jnp.float32) * s[g]
+    acc_ref[...] = acc
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+def _kernel_int8_acc_layered(l_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *,
+                             gs: int, out_dtype):
+    """Layer-indexed _kernel_int8_acc (stacked (L, K, N) weights)."""
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = q_ref[0].astype(jnp.float32)
+    s = s_ref[0]
+    nb = w.shape[0] // gs
+    acc = acc_ref[...]
+    for g in range(nb):
+        acc += jnp.dot(x_ref[g].astype(jnp.float32),
+                       w[g * gs:(g + 1) * gs],
+                       preferred_element_type=jnp.float32) * s[g]
+    acc_ref[...] = acc
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
 def _kernel_int8_layered(l_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *,
                          gs: int, out_dtype, dot_dtype):
     """int8 kernel over stacked (L, K, N) weights: the grid's index maps pick
@@ -224,21 +272,38 @@ def quant_matmul_layered(x: jax.Array, qt: QuantizedTensor, layer: jax.Array,
     assert k == kq, f"K mismatch: x {k} vs qt {kq}"
     gs = qt.group_size
 
-    acc_bk = (_pick_k_block_int4_acc(k, _pick_block(n, 1024, 128), gs)
-              if qt.bits == 4 and m <= 32 else None)
+    acc_bk = None
+    if m <= 32:
+        if qt.bits == 4:
+            bn_acc = _pick_block(n, 1024, 128)
+            acc_bk = _pick_k_block_int4_acc(k, bn_acc, gs)
+        else:
+            bn_acc = _pick_block(n, 512, 128)
+            acc_bk = _pick_k_block_int8_acc(k, gs)
     if acc_bk is not None:
-        # decode path: accscale kernel, big blocks (see _kernel_int4_acc)
-        bn = _pick_block(n, 1024, 128)
+        # decode path: accscale kernels, big blocks (see _kernel_int4_acc /
+        # _kernel_int8_acc)
+        bn = bn_acc
         bk = acc_bk
         bm = m
-        nbt = bk // (2 * gs)
-        x_specs = [
-            pl.BlockSpec((nbt, bm, gs), lambda i, j, kk, l: (kk, 0, 0)),
-            pl.BlockSpec((nbt, bm, gs), lambda i, j, kk, l: (kk, 0, 0))]
-        x_ops = _group_x_planes(x, gs)
-        kernel = partial(_kernel_int4_acc_layered, gs=gs, out_dtype=x.dtype)
-        k_pack = 2
         mp = m
+        if qt.bits == 4:
+            nbt = bk // (2 * gs)
+            x_specs = [
+                pl.BlockSpec((nbt, bm, gs), lambda i, j, kk, l: (kk, 0, 0)),
+                pl.BlockSpec((nbt, bm, gs), lambda i, j, kk, l: (kk, 0, 0))]
+            x_ops = _group_x_planes(x, gs)
+            kernel = partial(_kernel_int4_acc_layered, gs=gs,
+                             out_dtype=x.dtype)
+            k_pack = 2
+        else:
+            nbt = bk // gs
+            x_specs = [
+                pl.BlockSpec((nbt, bm, gs), lambda i, j, kk, l: (kk, 0, 0))]
+            x_ops = (_group_x(x, gs),)
+            kernel = partial(_kernel_int8_acc_layered, gs=gs,
+                             out_dtype=x.dtype)
+            k_pack = 1
     else:
         bk = (_pick_k_block(k, block_k, gs) if qt.bits == 8
               else _pick_k_block_int4(k, block_k, gs))
@@ -325,6 +390,23 @@ def _pick_k_block_int4(k: int, target: int, gs: int) -> int:
     return max(cands) if cands else k
 
 
+def _pick_k_block_int8_acc(k: int, gs: int,
+                           max_groups: int = 96) -> int | None:
+    """K tile for the int8 accscale decode kernel: bk=2048 measured best
+    (719-739 GB/s vs 619-658 at 1024; 4096 slightly worse), bounded by the
+    static per-group unroll. None when no legal tile exists."""
+    limit = min(k, 2048, max_groups * gs)
+    cands = [d for d in range(gs, limit + 1, gs)
+             if k % d == 0 and (d // gs) % 8 == 0 and d % 128 == 0]
+    return max(cands) if cands else None
+
+
+def _group_x(x: jax.Array, gs: int):
+    """x (M, K) -> (K//gs, M, gs) group slabs for the int8 accscale kernel."""
+    m, k = x.shape
+    return x.reshape(m, k // gs, gs).transpose(1, 0, 2)
+
+
 def _pick_k_block_int4_acc(k: int, bn: int, gs: int,
                            max_groups: int = 96) -> int | None:
     """K tile for the accscale decode kernel: big blocks win (the DMA floor
@@ -377,7 +459,34 @@ def quant_matmul(x: jax.Array, qt: QuantizedTensor, *, block_m: int = 256,
         interpret=interpret,
     )
 
-    if qt.bits == 8:
+    if qt.bits == 8 and m <= 32 and (acc_bk8 := _pick_k_block_int8_acc(
+            k, gs)) is not None:
+        # decode path: accscale kernel, bk=2048 blocks (see _kernel_int8_acc)
+        bk = acc_bk8
+        nbt = bk // gs
+        out = pl.pallas_call(
+            partial(_kernel_int8_acc, gs=gs, out_dtype=x.dtype),
+            grid=(1, n // bn, k // bk),
+            in_specs=[
+                pl.BlockSpec((nbt, m, gs), lambda i, j, kk: (kk, 0, 0)),
+                pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j)),
+                pl.BlockSpec((bk // gs, bn), lambda i, j, kk: (kk, j)),
+            ],
+            out_specs=pl.BlockSpec((m, bn), lambda i, j, kk: (i, j)),
+            out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+            scratch_shapes=[pltpu.VMEM((m, bn), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * m * k * n,
+                bytes_accessed=m * k * 2 + k * n + m * n * 2,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(_group_x(x[:m], gs), qt.q, qt.scales)
+        return out
+    elif qt.bits == 8:
         grid = (mp // bm, n // bn, k // bk)
         out = pl.pallas_call(
             partial(_kernel_int8, gs=gs, out_dtype=x.dtype,
