@@ -558,7 +558,7 @@ def _forward_decode_fused(params: Params, cfg: ModelConfig, tokens: jax.Array,
             ks_c = ks_c.at[l, bi, hi, pi].set(ksc)
             vs_c = vs_c.at[l, bi, hi, pi].set(vsc)
             cv = (k_c, v_c, ks_c, vs_c)
-            if k_c.shape[3] > 512:
+            if k_c.shape[3] > 256:
                 att = decode_attention_layer_tiled_q8(
                     q[:, 0], k_c, v_c, ks_c, vs_c, pos, l)
             else:
@@ -568,7 +568,7 @@ def _forward_decode_fused(params: Params, cfg: ModelConfig, tokens: jax.Array,
             k_c = k_c.at[l, bi, hi, pi].set(k[:, 0].astype(k_c.dtype))
             v_c = v_c.at[l, bi, hi, pi].set(v[:, 0].astype(v_c.dtype))
             cv = (k_c, v_c)
-            if k_c.shape[3] > 512:
+            if k_c.shape[3] > 256:
                 att = decode_attention_layer_tiled(q[:, 0], k_c, v_c, pos, l)
             else:
                 att = decode_attention_layer(q[:, 0], k_c, v_c, pos, l)

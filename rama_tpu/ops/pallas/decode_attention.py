@@ -28,16 +28,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_heads(nkv: int, bytes_per_head: int, budget: int = 2 << 20,
-                cap: int = 8) -> int:
-    """KV heads per grid step: the per-step fixed cost (~0.5-1 us) dominates
+def _pick_heads(nkv: int, bytes_per_head: int, budget: int = 12 << 20,
+                cap: int = 32) -> int:
+    """KV heads per grid step: the per-step fixed cost (~1.3 us) dominates
     decode attention at 7B (rep=1, tiny matmuls), so grouping heads into one
     step with an unrolled loop cuts the call's grid from b*nkv[*nc] to
-    b*nkv/hb[*nc] — measured 1.25 ms -> ~0.4 ms per 32-layer step at b=1.
-    hb must divide nkv; K+V VMEM for the group stays under `budget`."""
+    b*nkv/hb[*nc] — at hb=nkv one grid step per (slot, S-tile). hb must
+    divide nkv; K+V VMEM for the group (x2 double-buffer) stays under
+    `budget` (scoped VMEM is 16 MB; 12 leaves room for q/out/acc blocks)."""
     hb = 1
-    for h in (2, 4, 8):
-        if h <= cap and nkv % h == 0 and h * bytes_per_head <= budget:
+    for h in (2, 4, 8, 16, 32):
+        if h <= cap and nkv % h == 0 and 2 * h * bytes_per_head <= budget:
             hb = h
     return hb
 
@@ -162,7 +163,7 @@ def _kernel_tiled(sc_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
 
 def decode_attention_layer_tiled(q: jax.Array, k_full: jax.Array,
                                  v_full: jax.Array, pos: jax.Array,
-                                 layer: jax.Array, *, chunk: int = 512,
+                                 layer: jax.Array, *, chunk: int = 256,
                                  interpret: bool = False) -> jax.Array:
     """S-tiled ragged variant of decode_attention_layer.
 
@@ -382,7 +383,7 @@ def _kernel_tiled_q8(sc_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
 def decode_attention_layer_tiled_q8(q: jax.Array, k8_full: jax.Array,
                                     v8_full: jax.Array, ks_full: jax.Array,
                                     vs_full: jax.Array, pos: jax.Array,
-                                    layer: jax.Array, *, chunk: int = 512,
+                                    layer: jax.Array, *, chunk: int = 256,
                                     interpret: bool = False) -> jax.Array:
     """S-tiled ragged int8-cache decode attention (bounded VMEM; tiles past
     pos[b] elide their DMAs) — see decode_attention_layer_tiled."""

@@ -278,7 +278,8 @@ def quant_matmul_layered(x: jax.Array, qt: QuantizedTensor, layer: jax.Array,
             bn_acc = _pick_block(n, 1024, 128)
             acc_bk = _pick_k_block_int4_acc(k, bn_acc, gs)
         else:
-            bn_acc = _pick_block(n, 512, 128)
+            # 640 only kicks in for vocab-ish N (32000); 512 otherwise
+            bn_acc = _pick_block(n, 640, 128)
             acc_bk = _pick_k_block_int8_acc(k, gs)
     if acc_bk is not None:
         # decode path: accscale kernels, big blocks (see _kernel_int4_acc /
@@ -463,6 +464,7 @@ def quant_matmul(x: jax.Array, qt: QuantizedTensor, *, block_m: int = 256,
             k, gs)) is not None:
         # decode path: accscale kernel, bk=2048 blocks (see _kernel_int8_acc)
         bk = acc_bk8
+        bn = _pick_block(n, 640, 128)   # 640 kicks in for vocab-ish N
         nbt = bk // gs
         out = pl.pallas_call(
             partial(_kernel_int8_acc, gs=gs, out_dtype=x.dtype),
