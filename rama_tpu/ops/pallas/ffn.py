@@ -144,7 +144,7 @@ def ffn_tileable(w13: QuantizedTensor, w2: QuantizedTensor,
     gs13, gs2 = w13.group_size, w2.group_size
     mult = 2 * gs2 if w13.bits == 4 else gs2
     bh = _pick_tile(h, 256, int(np.lcm(mult, 128)))
-    bn = _pick_tile(n, 256, 128)
+    bn = _pick_tile(n, 512 if w13.bits == 4 else 256, 128)
     if bh is None or bn is None:
         return False
     if k % gs13 or h % gs2:
@@ -177,7 +177,7 @@ def ffn_fused_layered(x: jax.Array, w13: QuantizedTensor, w2: QuantizedTensor,
     bh = _pick_tile(h, 256, int(np.lcm(mult, 128)))
     assert bh is not None, \
         "ffn_fused_layered called on untileable shapes (use ffn_tileable)"
-    bn = _pick_tile(n, 256, 128)
+    bn = _pick_tile(n, 512 if bits == 4 else 256, 128)
     nh, nn = h // bh, n // bn    # w13 column blocks: W3 starts at block nh
 
     acc_mode = bits == 4 and m <= 32
