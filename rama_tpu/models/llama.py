@@ -597,9 +597,12 @@ def _forward_decode_fused(params: Params, cfg: ModelConfig, tokens: jax.Array,
         x = x + ffn_out
         return (x, *cv), None
 
+    # unroll: fewer while-loop iterations -> less per-layer carry/bookkeeping
+    # overhead (profiled ~0.25 ms/step of inter-op gaps at b=1)
     (x, *cv_new), _ = jax.lax.scan(
         body, (x, *_cache_arrays(cache)),
-        jnp.arange(cfg.n_layers, dtype=jnp.int32))
+        jnp.arange(cfg.n_layers, dtype=jnp.int32),
+        unroll=4 if cfg.n_layers % 4 == 0 else 1)
 
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
     logits = _linear(x, params["wcls"]).astype(jnp.float32)

@@ -123,3 +123,39 @@ def test_quant_matmul_layered_matches_per_layer(wx, bits):
         np.testing.assert_allclose(np.asarray(got, np.float32),
                                    np.asarray(want, np.float32),
                                    atol=0.1, rtol=0.1, err_msg=f"layer {l}")
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_accscale_decode_path_matches_xla(bits):
+    """K=1024/gs=64 qualifies for the accscale decode kernels (m<=32,
+    per-group dots with scales on the accumulator) — cover both the
+    single-tensor and layered dispatches against the XLA reference."""
+    from rama_tpu.ops.pallas.quant_matmul import (_pick_k_block_int4_acc,
+                                                  _pick_k_block_int8_acc,
+                                                  quant_matmul_layered)
+
+    k, n, L = 1024, 1280, 2
+    rng = np.random.default_rng(11)
+    ws = jnp.asarray(rng.standard_normal((L, k, n)).astype(np.float32) * 0.1)
+    quant = quantize_int8 if bits == 8 else quantize_int4
+    qt = quant(ws, 64)
+    # the shapes must actually qualify, else this test silently covers the
+    # wrong kernel
+    if bits == 4:
+        assert _pick_k_block_int4_acc(k, 1280, qt.group_size) is not None
+    else:
+        assert _pick_k_block_int8_acc(k, qt.group_size) is not None
+
+    x = jnp.asarray(rng.standard_normal((2, k)).astype(np.float32) * 0.5,
+                    jnp.bfloat16)
+    single = QuantizedTensor(q=qt.q[1], scales=qt.scales[1],
+                             group_size=qt.group_size, bits=bits)
+    want = matmul_xla(x, single)
+    got = quant_matmul(x, single, interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=0.1, rtol=0.1)
+    got_l = quant_matmul_layered(x, qt, jnp.int32(1), interpret=True)
+    np.testing.assert_allclose(np.asarray(got_l, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=0.1, rtol=0.1)
