@@ -127,15 +127,40 @@ def _kernel_tiled(sc_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
         m_ref[...] = jnp.full_like(m_ref, -1e30)
         l_ref[...] = jnp.zeros_like(l_ref)
 
+    rep = q_ref.shape[2]
+
     @pl.when(p <= last)
     def _():
         g = p * c + jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
         mask = g <= pos
+        if rep == 1:
+            # MHA fast path: all hb heads in one 3-D elementwise+reduce —
+            # 2*hb tiny per-head MXU dots cost more in launch latency than
+            # the whole VPU product/reduce at decode sizes.
+            q = q_ref[0, :, 0, :].astype(jnp.float32)      # (hb, hd)
+            k = k_ref[0, 0].astype(jnp.float32)            # (hb, c, hd)
+            v = v_ref[0, 0].astype(jnp.float32)
+            hd = q.shape[-1]
+            scores = jnp.sum(q[:, None, :] * k, axis=-1) / np.sqrt(hd)
+            scores = jnp.where(mask, scores, -1e30)        # (hb, c)
+
+            m_prev = m_ref[:, 0, :1]                       # (hb, 1)
+            l_prev = l_ref[:, 0, :1]
+            m_new = jnp.maximum(m_prev,
+                                jnp.max(scores, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)                # (hb, 1)
+            e = jnp.exp(scores - m_new)                    # (hb, c)
+            l_new = alpha * l_prev + jnp.sum(e, axis=-1, keepdims=True)
+            pv = jnp.sum(e[:, :, None] * v, axis=1)        # (hb, hd)
+            acc_ref[:, 0, :] = alpha * acc_ref[:, 0, :] + pv
+            m_ref[...] = jnp.broadcast_to(m_new[:, None], m_ref.shape)
+            l_ref[...] = jnp.broadcast_to(l_new[:, None], l_ref.shape)
+            return
         for h in range(hb):
             q = q_ref[0, h]                    # (rep, hd)
             k = k_ref[0, 0, h]                 # (c, hd)
             v = v_ref[0, 0, h]
-            rep, hd = q.shape
+            rep_, hd = q.shape
 
             scores = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
