@@ -60,10 +60,30 @@ def _one_head(q, k, v, visible, out_dtype):
     return out.astype(out_dtype)
 
 
+def _heads_vectorized(q, k, v, visible, out_dtype):
+    """MHA (rep=1) all-heads path: q (hb, hd), k/v (hb, S, hd) -> (hb, hd).
+    One 3-D product/reduce instead of 2*hb tiny per-head MXU dots (whose
+    launch latency dominates decode attention)."""
+    hd = q.shape[-1]
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    scores = jnp.sum(qf[:, None, :] * kf, axis=-1) / np.sqrt(hd)   # (hb, S)
+    scores = jnp.where(visible, scores, -1e30)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)
+    return jnp.sum(probs[:, :, None] * vf, axis=1).astype(out_dtype)
+
+
 def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *, hb: int):
     s, hd = k_ref.shape[-2:]
     pos = pos_ref[pl.program_id(0)]
     visible = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1) <= pos
+    if q_ref.shape[2] == 1:
+        o_ref[0, :, 0, :] = _heads_vectorized(
+            q_ref[0, :, 0, :], k_ref[0], v_ref[0], visible, o_ref.dtype)
+        return
     for h in range(hb):
         o_ref[0, h] = _one_head(q_ref[0, h], k_ref[0, h], v_ref[0, h],
                                 visible, o_ref.dtype)
@@ -106,6 +126,11 @@ def _kernel_layered(sc_ref, q_ref, k_ref, v_ref, o_ref, *, hb: int):
     s, hd = k_ref.shape[-2:]
     pos = sc_ref[pl.program_id(0)]
     visible = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1) <= pos
+    if q_ref.shape[2] == 1:
+        o_ref[0, :, 0, :] = _heads_vectorized(
+            q_ref[0, :, 0, :], k_ref[0, 0], v_ref[0, 0], visible,
+            o_ref.dtype)
+        return
     for h in range(hb):
         o_ref[0, h] = _one_head(q_ref[0, h], k_ref[0, 0, h], v_ref[0, 0, h],
                                 visible, o_ref.dtype)
@@ -369,17 +394,44 @@ def _kernel_tiled_q8(sc_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
         m_ref[...] = jnp.full_like(m_ref, -1e30)
         l_ref[...] = jnp.zeros_like(l_ref)
 
+    rep = q_ref.shape[2]
+
     @pl.when(p <= last)
     def _():
         g = p * c + jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
         mask = g <= pos
+        if rep == 1:
+            # MHA fast path: whole head group in one 3-D product/reduce
+            # (see _kernel_tiled); row scales apply per (head, position)
+            q = q_ref[0, :, 0, :].astype(jnp.float32)      # (hb, hd)
+            k = k_ref[0, 0].astype(jnp.float32)            # (hb, c, hd)
+            v = v_ref[0, 0].astype(jnp.float32)
+            ks = ks_ref[0, 0, :, 0, :]                     # (hb, c)
+            vs = vs_ref[0, 0, :, 0, :]
+            hd = q.shape[-1]
+            scores = (jnp.sum(q[:, None, :] * k, axis=-1)
+                      * ks / np.sqrt(hd))                  # (hb, c)
+            scores = jnp.where(mask, scores, -1e30)
+
+            m_prev = m_ref[:, 0, :1]
+            l_prev = l_ref[:, 0, :1]
+            m_new = jnp.maximum(m_prev,
+                                jnp.max(scores, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            e = jnp.exp(scores - m_new)                    # (hb, c)
+            l_new = alpha * l_prev + jnp.sum(e, axis=-1, keepdims=True)
+            pv = jnp.sum((e * vs)[:, :, None] * v, axis=1)  # (hb, hd)
+            acc_ref[:, 0, :] = alpha * acc_ref[:, 0, :] + pv
+            m_ref[...] = jnp.broadcast_to(m_new[:, None], m_ref.shape)
+            l_ref[...] = jnp.broadcast_to(l_new[:, None], l_ref.shape)
+            return
         for h in range(hb):
             q = q_ref[0, h]                    # (rep, hd)
             k = k_ref[0, 0, h]                 # (c, hd) int8
             v = v_ref[0, 0, h]
             ks = ks_ref[0, 0, h]               # (1, c)
             vs = vs_ref[0, 0, h]
-            rep, hd = q.shape
+            rep_, hd = q.shape
 
             scores = jax.lax.dot_general(
                 q, k.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
