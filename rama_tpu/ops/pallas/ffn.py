@@ -32,6 +32,10 @@ from rama_tpu.ops.pallas.quant_matmul import (_dot_dtype, dequant_int8,
                                               dequant_int4_planes)
 from rama_tpu.ops.quant import QuantizedTensor
 
+# Benchmark hook: force the dequant-in-VMEM phase A even at decode M
+# (tools/bench_ffn.py measures accscale vs dequant on the device timeline).
+_FORCE_DEQUANT = False
+
 
 def _dequant4(packed, scales, gs: int, dot_dtype):
     """Block-local packed int4 (K//2, N) + (K//gs, N) f32 -> (K, N), planes
@@ -68,6 +72,22 @@ def _acc_dots(xlo_ref, xhi_ref, q_ref, s_ref, gs: int):
     return acc
 
 
+def _acc_dots8(xg_ref, q_ref, s_ref, gs: int):
+    """Accscale matmul for one int8 weight block: per-group dots of raw
+    (converted, unscaled) int8 rows, scales applied to the (M, bh) partials
+    (exact numerics; see quant_matmul._kernel_int8_acc). x arrives
+    pre-grouped (groups, M, gs)."""
+    w = q_ref[0].astype(jnp.float32)
+    s = s_ref[0]
+    nb = w.shape[0] // gs
+    acc = jnp.zeros((xg_ref.shape[1], q_ref.shape[-1]), jnp.float32)
+    for g in range(nb):
+        acc += jnp.dot(xg_ref[g].astype(jnp.float32),
+                       w[g * gs:(g + 1) * gs],
+                       preferred_element_type=jnp.float32) * s[g]
+    return acc
+
+
 def _kernel(l_ref, *refs, gs13: int, gs2: int, nh: int, nn: int, bh: int,
             bits: int, out_dtype, dot_dtype, acc_mode: bool):
     if bits == 8:
@@ -81,7 +101,11 @@ def _kernel(l_ref, *refs, gs13: int, gs2: int, nh: int, nn: int, bh: int,
 
     @pl.when(p < nh)
     def _():
-        if bits == 8:
+        if bits == 8 and acc_mode:
+            # decode: x pre-grouped (nb, M, gs); scales on partials
+            a = _acc_dots8(x_ref, q1_ref, s1_ref, gs13)
+            c = _acc_dots8(x_ref, q3_ref, s3_ref, gs13)
+        elif bits == 8:
             x = x_ref[...].astype(dot_dtype)            # (M, K)
             a = jnp.dot(x, dequant_int8(q1_ref[0], s1_ref[0], gs13, dot_dtype),
                         preferred_element_type=jnp.float32)  # (M, bh)
@@ -180,8 +204,14 @@ def ffn_fused_layered(x: jax.Array, w13: QuantizedTensor, w2: QuantizedTensor,
     bn = _pick_tile(n, 512 if bits == 4 else 256, 128)
     nh, nn = h // bh, n // bn    # w13 column blocks: W3 starts at block nh
 
-    acc_mode = bits == 4 and m <= 32
-    if bits == 8:
+    acc_mode = m <= 32 and (k // gs13) <= 96 and not _FORCE_DEQUANT
+    if bits == 8 and acc_mode:
+        from rama_tpu.ops.pallas.quant_matmul import _group_x
+
+        nbt = k // gs13
+        x_specs = [pl.BlockSpec((nbt, m, gs13), lambda p, sc: (0, 0, 0))]
+        x_ops = (_group_x(x, gs13),)
+    elif bits == 8:
         x_specs = [pl.BlockSpec((m, k), lambda p, sc: (0, 0))]
         x_ops = (x,)
     elif acc_mode:
