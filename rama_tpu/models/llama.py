@@ -311,6 +311,36 @@ def _concat_weights(ws, cfg: ModelConfig, tp_size: int):
     return jnp.concatenate(parts, axis=-1)
 
 
+def _interleave_w13(qt: QuantizedTensor, h_local: int, bh: int) -> QuantizedTensor:
+    """Per-shard [W1 | W3] columns -> alternating bh-wide tiles
+    [W1_0 W3_0 W1_1 W3_1 ...], so the fused-FFN kernel's phase A streams ONE
+    contiguous (K, 2*bh) weight block per grid step instead of two (K, bh)
+    blocks nh*bh columns apart (bigger DMA grain, same bytes). Pure column
+    permutation — numerically exact; split_h13 inverts it on matmul outputs.
+    """
+    def rearr(a):
+        *lead, k, n = a.shape
+        ns = n // (2 * h_local)  # tp shard regions, each [W1_s | W3_s]
+        t = a.reshape(*lead, k, ns, 2, h_local // bh, bh)
+        t = jnp.swapaxes(t, -3, -2)  # (.., ns, nh, 2, bh)
+        return t.reshape(*lead, k, n)
+
+    return QuantizedTensor(q=rearr(qt.q), scales=rearr(qt.scales),
+                           group_size=qt.group_size, bits=qt.bits, il=bh)
+
+
+def split_h13(h13: jax.Array, w13) -> tuple:
+    """Split a fused up-projection activation into (h1, h3), honoring the
+    w13 column layout (plain halves, or il-tile interleaved)."""
+    il = getattr(w13, "il", 0)
+    if not il:
+        return tuple(jnp.split(h13, 2, axis=-1))
+    *lead, n = h13.shape
+    t = h13.reshape(*lead, n // (2 * il), 2, il)
+    return (t[..., 0, :].reshape(*lead, n // 2),
+            t[..., 1, :].reshape(*lead, n // 2))
+
+
 def fuse_params(params: Params, cfg: ModelConfig, tp_size: int = 1) -> Params:
     """Fuse the three attention input projections into one wqkv matmul and
     the two FFN up-projections into one w13 — 7 -> 4 weight streams per
@@ -318,12 +348,25 @@ def fuse_params(params: Params, cfg: ModelConfig, tp_size: int = 1) -> Params:
 
     The reference issues every projection as its own kernel launch (and wq
     twice, infer.rs:20-21); fusion is the TPU-native counterpoint.
+
+    Quantized w13 additionally gets the tile-interleaved column layout when
+    the fused-FFN kernel's phase-A tile exists for these shapes (see
+    _interleave_w13); split_h13 de-interleaves on the non-kernel paths.
     """
     if "wqkv" in params:
         return params
     p = dict(params)
     p["wqkv"] = _concat_weights([p.pop("wq"), p.pop("wk"), p.pop("wv")], cfg, tp_size)
     p["w13"] = _concat_weights([p.pop("w1"), p.pop("w3")], cfg, tp_size)
+    w13, w2 = p["w13"], p.get("w2")
+    if (isinstance(w13, QuantizedTensor) and isinstance(w2, QuantizedTensor)
+            and w13.bits == w2.bits and cfg.hidden_dim % tp_size == 0):
+        from rama_tpu.ops.pallas.ffn import phase_a_tile
+
+        h_local = cfg.hidden_dim // tp_size
+        bh = phase_a_tile(h_local, w13.bits, w2.group_size)
+        if bh:
+            p["w13"] = _interleave_w13(w13, h_local, bh)
     return p
 
 
@@ -473,7 +516,7 @@ def _layer(x, lp, cv, cos, sin, pos_index, pos_mask,
     xb = rmsnorm(x, lp["ffn_norm"], cfg.norm_eps)
     if "w13" in lp:
         h13 = _linear(xb, lp["w13"])
-        h1, h3 = jnp.split(h13, 2, axis=-1)
+        h1, h3 = split_h13(h13, lp["w13"])
     else:
         h1 = _linear(xb, lp["w1"])
         h3 = _linear(xb, lp["w3"])
@@ -587,7 +630,7 @@ def _forward_decode_fused(params: Params, cfg: ModelConfig, tokens: jax.Array,
         else:
             if fused:
                 h13 = _linear_layered(xb, params["w13"], l)
-                h1, h3 = jnp.split(h13, 2, axis=-1)
+                h1, h3 = split_h13(h13, params["w13"])
             else:
                 h1 = _linear_layered(xb, params["w1"], l)
                 h3 = _linear_layered(xb, params["w3"], l)

@@ -16,6 +16,14 @@ Weight blocks are selected by scalar-prefetched index maps (layer straight
 from HBM, no per-layer copy); phase-A blocks repeat their last index during
 phase B (and vice versa), so their DMAs are elided and every weight byte is
 streamed exactly once per step.
+
+Two w13 column layouts are supported (QuantizedTensor.il):
+  plain  [W1 | W3]: W1_j and W3_j are nh*bh columns apart — two (K, bh)
+         weight DMAs per phase-A step;
+  interleaved [W1_0 W3_0 W1_1 W3_1 ...] (il == bh): one contiguous
+         (K, 2*bh) DMA per step — twice the DMA grain, same bytes (HBM
+         streams run measurably closer to the copy floor at >=1 MB blocks).
+fuse_params interleaves automatically when the fused kernel applies.
 """
 
 from __future__ import annotations
@@ -37,6 +45,13 @@ from rama_tpu.ops.quant import QuantizedTensor
 _FORCE_DEQUANT = False
 
 
+def phase_a_tile(h: int, bits: int, gs2: int) -> int | None:
+    """The phase-A hidden tile bh — shared between the kernel and
+    fuse_params' interleaved-w13 layout so the two always agree."""
+    mult = 2 * gs2 if bits == 4 else gs2
+    return _pick_tile(h, 256, int(np.lcm(mult, 128)))
+
+
 def _dequant4(packed, scales, gs: int, dot_dtype):
     """Block-local packed int4 (K//2, N) + (K//gs, N) f32 -> (K, N), planes
     interleaved back into logical row order (phase B's h scratch is in
@@ -50,17 +65,17 @@ def _dequant4(packed, scales, gs: int, dot_dtype):
     return w if dot_dtype == jnp.float32 else w.astype(dot_dtype)
 
 
-def _acc_dots(xlo_ref, xhi_ref, q_ref, s_ref, gs: int):
-    """Accscale matmul for one packed-int4 weight block: per-group dots of
-    raw nibbles, scales applied to the (M, bh) partials (exact numerics;
-    see quant_matmul._kernel_int4_acc). x planes arrive pre-grouped
+def _acc_dots(xlo_ref, xhi_ref, q, s, gs: int):
+    """Accscale matmul for one packed-int4 weight block q (bk2, bn): per-group
+    dots of raw nibbles, scales applied to the (M, bn) partials (exact
+    numerics; see quant_matmul._kernel_int4_acc). x planes arrive pre-grouped
     (groups, M, gs)."""
-    p32 = q_ref[0].astype(jnp.int32)
+    p32 = q.astype(jnp.int32)
     bk2, bn = p32.shape
     nb = bk2 // gs
     lo = ((p32 << 28) >> 28).astype(jnp.float32)
     hi = (p32 >> 4).astype(jnp.float32)
-    s = s_ref[0].reshape(nb, 2, bn)
+    sg = s.reshape(nb, 2, bn)
     acc = jnp.zeros((xlo_ref.shape[1], bn), jnp.float32)
     for g in range(nb):
         rows = slice(g * gs, (g + 1) * gs)
@@ -68,19 +83,18 @@ def _acc_dots(xlo_ref, xhi_ref, q_ref, s_ref, gs: int):
                       preferred_element_type=jnp.float32)
         phi = jnp.dot(xhi_ref[g].astype(jnp.float32), hi[rows],
                       preferred_element_type=jnp.float32)
-        acc += plo * s[g, 0] + phi * s[g, 1]
+        acc += plo * sg[g, 0] + phi * sg[g, 1]
     return acc
 
 
-def _acc_dots8(xg_ref, q_ref, s_ref, gs: int):
-    """Accscale matmul for one int8 weight block: per-group dots of raw
-    (converted, unscaled) int8 rows, scales applied to the (M, bh) partials
-    (exact numerics; see quant_matmul._kernel_int8_acc). x arrives
+def _acc_dots8(xg_ref, q, s, gs: int):
+    """Accscale matmul for one int8 weight block q (bk, bn): per-group dots
+    of raw (converted, unscaled) int8 rows, scales applied to the (M, bn)
+    partials (exact numerics; see quant_matmul._kernel_int8_acc). x arrives
     pre-grouped (groups, M, gs)."""
-    w = q_ref[0].astype(jnp.float32)
-    s = s_ref[0]
+    w = q.astype(jnp.float32)
     nb = w.shape[0] // gs
-    acc = jnp.zeros((xg_ref.shape[1], q_ref.shape[-1]), jnp.float32)
+    acc = jnp.zeros((xg_ref.shape[1], q.shape[-1]), jnp.float32)
     for g in range(nb):
         acc += jnp.dot(xg_ref[g].astype(jnp.float32),
                        w[g * gs:(g + 1) * gs],
@@ -89,39 +103,45 @@ def _acc_dots8(xg_ref, q_ref, s_ref, gs: int):
 
 
 def _kernel(l_ref, *refs, gs13: int, gs2: int, nh: int, nn: int, bh: int,
-            bits: int, out_dtype, dot_dtype, acc_mode: bool):
-    if bits == 8:
-        (x_ref, q1_ref, s1_ref, q3_ref, s3_ref, q2_ref, s2_ref,
-         o_ref, h_ref) = refs
+            bits: int, out_dtype, dot_dtype, acc_mode: bool, il: bool):
+    nx = 1 if bits == 8 else 2
+    xrefs = refs[:nx]
+    if il:
+        q13_ref, s13_ref, q2_ref, s2_ref, o_ref, h_ref = refs[nx:]
     else:
-        (xlo_ref, xhi_ref, q1_ref, s1_ref, q3_ref, s3_ref, q2_ref, s2_ref,
-         o_ref, h_ref) = refs
+        (q1_ref, s1_ref, q3_ref, s3_ref, q2_ref, s2_ref,
+         o_ref, h_ref) = refs[nx:]
     p = pl.program_id(0)
     kpack = 1 if bits == 8 else 2
 
     @pl.when(p < nh)
     def _():
+        if il:
+            q13, s13 = q13_ref[0], s13_ref[0]
+            q1, q3 = q13[:, :bh], q13[:, bh:]
+            s1, s3 = s13[:, :bh], s13[:, bh:]
+        else:
+            q1, q3 = q1_ref[0], q3_ref[0]
+            s1, s3 = s1_ref[0], s3_ref[0]
         if bits == 8 and acc_mode:
             # decode: x pre-grouped (nb, M, gs); scales on partials
-            a = _acc_dots8(x_ref, q1_ref, s1_ref, gs13)
-            c = _acc_dots8(x_ref, q3_ref, s3_ref, gs13)
+            a = _acc_dots8(xrefs[0], q1, s1, gs13)
+            c = _acc_dots8(xrefs[0], q3, s3, gs13)
         elif bits == 8:
-            x = x_ref[...].astype(dot_dtype)            # (M, K)
-            a = jnp.dot(x, dequant_int8(q1_ref[0], s1_ref[0], gs13, dot_dtype),
+            x = xrefs[0][...].astype(dot_dtype)         # (M, K)
+            a = jnp.dot(x, dequant_int8(q1, s1, gs13, dot_dtype),
                         preferred_element_type=jnp.float32)  # (M, bh)
-            c = jnp.dot(x, dequant_int8(q3_ref[0], s3_ref[0], gs13, dot_dtype),
+            c = jnp.dot(x, dequant_int8(q3, s3, gs13, dot_dtype),
                         preferred_element_type=jnp.float32)
         elif acc_mode:
             # decode: x planes pre-grouped (nb, M, gs); scales on partials
-            a = _acc_dots(xlo_ref, xhi_ref, q1_ref, s1_ref, gs13)
-            c = _acc_dots(xlo_ref, xhi_ref, q3_ref, s3_ref, gs13)
+            a = _acc_dots(xrefs[0], xrefs[1], q1, s1, gs13)
+            c = _acc_dots(xrefs[0], xrefs[1], q3, s3, gs13)
         else:
-            xlo = xlo_ref[...].astype(dot_dtype)        # (M, K//2)
-            xhi = xhi_ref[...].astype(dot_dtype)
-            w1lo, w1hi = dequant_int4_planes(q1_ref[0], s1_ref[0], gs13,
-                                             dot_dtype)
-            w3lo, w3hi = dequant_int4_planes(q3_ref[0], s3_ref[0], gs13,
-                                             dot_dtype)
+            xlo = xrefs[0][...].astype(dot_dtype)       # (M, K//2)
+            xhi = xrefs[1][...].astype(dot_dtype)
+            w1lo, w1hi = dequant_int4_planes(q1, s1, gs13, dot_dtype)
+            w3lo, w3hi = dequant_int4_planes(q3, s3, gs13, dot_dtype)
             a = (jnp.dot(xlo, w1lo, preferred_element_type=jnp.float32)
                  + jnp.dot(xhi, w1hi, preferred_element_type=jnp.float32))
             c = (jnp.dot(xlo, w3lo, preferred_element_type=jnp.float32)
@@ -166,10 +186,11 @@ def ffn_tileable(w13: QuantizedTensor, w2: QuantizedTensor,
     if h2 != 2 * h:
         return False
     gs13, gs2 = w13.group_size, w2.group_size
-    mult = 2 * gs2 if w13.bits == 4 else gs2
-    bh = _pick_tile(h, 256, int(np.lcm(mult, 128)))
+    bh = phase_a_tile(h, w13.bits, gs2)
     bn = _pick_tile(n, 512 if w13.bits == 4 else 256, 128)
     if bh is None or bn is None:
+        return False
+    if w13.il and w13.il != bh:
         return False
     if k % gs13 or h % gs2:
         return False
@@ -188,8 +209,9 @@ def ffn_fused_layered(x: jax.Array, w13: QuantizedTensor, w2: QuantizedTensor,
                       layer: jax.Array, *, interpret: bool = False) -> jax.Array:
     """x (M, K) -> (silu(x@W1[l]) * (x@W3[l])) @ W2[l], one pallas_call.
 
-    w13: stacked fused up-projection (L, K, 2H), columns [W1 | W3] (the
-    tp-shard-local layout fuse_params produces); w2: (L, H, N).
+    w13: stacked fused up-projection (L, K, 2H) — plain [W1 | W3] columns or
+    the tile-interleaved layout (w13.il == bh, the layout fuse_params
+    produces when this kernel applies); w2: (L, H, N).
     """
     m, k = x.shape
     h = w2.shape[-2]
@@ -197,10 +219,12 @@ def ffn_fused_layered(x: jax.Array, w13: QuantizedTensor, w2: QuantizedTensor,
     gs13, gs2 = w13.group_size, w2.group_size
     bits = w13.bits
     kpack = 1 if bits == 8 else 2
-    mult = 2 * gs2 if bits == 4 else gs2
-    bh = _pick_tile(h, 256, int(np.lcm(mult, 128)))
+    bh = phase_a_tile(h, bits, gs2)
     assert bh is not None, \
         "ffn_fused_layered called on untileable shapes (use ffn_tileable)"
+    assert not w13.il or w13.il == bh, \
+        f"w13 interleave tile {w13.il} != kernel phase-A tile {bh}"
+    il = bool(w13.il)
     bn = _pick_tile(n, 512 if bits == 4 else 256, 128)
     nh, nn = h // bh, n // bn    # w13 column blocks: W3 starts at block nh
 
@@ -228,20 +252,34 @@ def ffn_fused_layered(x: jax.Array, w13: QuantizedTensor, w2: QuantizedTensor,
                    pl.BlockSpec((m, k // 2), lambda p, sc: (0, 0))]
         x_ops = _split_x_planes(x, gs13)
 
+    if il:
+        # one contiguous (K, 2*bh) w13 block per phase-A step
+        w_specs = [
+            pl.BlockSpec((1, k // kpack, 2 * bh),
+                         lambda p, sc: (sc[0], 0, jnp.minimum(p, nh - 1))),
+            pl.BlockSpec((1, k // gs13, 2 * bh),
+                         lambda p, sc: (sc[0], 0, jnp.minimum(p, nh - 1))),
+        ]
+        w_ops = (w13.q, w13.scales)
+    else:
+        w_specs = [
+            pl.BlockSpec((1, k // kpack, bh),
+                         lambda p, sc: (sc[0], 0, jnp.minimum(p, nh - 1))),
+            pl.BlockSpec((1, k // gs13, bh),
+                         lambda p, sc: (sc[0], 0, jnp.minimum(p, nh - 1))),
+            pl.BlockSpec((1, k // kpack, bh),
+                         lambda p, sc: (sc[0], 0,
+                                        nh + jnp.minimum(p, nh - 1))),
+            pl.BlockSpec((1, k // gs13, bh),
+                         lambda p, sc: (sc[0], 0,
+                                        nh + jnp.minimum(p, nh - 1))),
+        ]
+        w_ops = (w13.q, w13.scales, w13.q, w13.scales)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nh + nn,),
-        in_specs=x_specs + [
-            pl.BlockSpec((1, k // kpack, bh),
-                         lambda p, sc: (sc[0], 0, jnp.minimum(p, nh - 1))),
-            pl.BlockSpec((1, k // gs13, bh),
-                         lambda p, sc: (sc[0], 0, jnp.minimum(p, nh - 1))),
-            pl.BlockSpec((1, k // kpack, bh),
-                         lambda p, sc: (sc[0], 0,
-                                        nh + jnp.minimum(p, nh - 1))),
-            pl.BlockSpec((1, k // gs13, bh),
-                         lambda p, sc: (sc[0], 0,
-                                        nh + jnp.minimum(p, nh - 1))),
+        in_specs=x_specs + w_specs + [
             pl.BlockSpec((1, h // kpack, bn),
                          lambda p, sc: (sc[0], 0,
                                         jnp.clip(p - nh, 0, nn - 1))),
@@ -256,12 +294,11 @@ def ffn_fused_layered(x: jax.Array, w13: QuantizedTensor, w2: QuantizedTensor,
     return pl.pallas_call(
         partial(_kernel, gs13=gs13, gs2=gs2, nh=nh, nn=nn, bh=bh, bits=bits,
                 out_dtype=x.dtype, dot_dtype=_dot_dtype(m),
-                acc_mode=acc_mode),
+                acc_mode=acc_mode, il=il),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(layer.reshape(1).astype(jnp.int32), *x_ops, w13.q, w13.scales, w13.q,
-      w13.scales, w2.q, w2.scales)
+    )(layer.reshape(1).astype(jnp.int32), *x_ops, *w_ops, w2.q, w2.scales)

@@ -35,15 +35,22 @@ import numpy as np
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["q", "scales"], meta_fields=["group_size", "bits"])
+         data_fields=["q", "scales"],
+         meta_fields=["group_size", "bits", "il"])
 @dataclass
 class QuantizedTensor:
-    """Group-quantized 2-D (or stacked 3-D (L, K, N)) weight."""
+    """Group-quantized 2-D (or stacked 3-D (L, K, N)) weight.
+
+    il > 0 marks a tile-interleaved fused-w13 column layout: columns are
+    alternating il-wide tiles [W1_0 W3_0 W1_1 W3_1 ...] instead of the plain
+    [W1 | W3] concat, so the fused-FFN kernel streams ONE contiguous
+    (K, 2*il) block per phase-A grid step (models.llama._interleave_w13)."""
 
     q: jax.Array       # int8; (.., K, N) for int8, (.., K//2, N) for int4
     scales: jax.Array  # fp32; (.., K//gs, N)
     group_size: int
     bits: int = 8
+    il: int = 0
 
     @property
     def k_dim(self) -> int:

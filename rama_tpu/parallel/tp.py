@@ -59,7 +59,7 @@ def param_specs(params) -> dict:
         if isinstance(p, QuantizedTensor):
             specs[name] = QuantizedTensor(
                 q=_spec_for(name, p.q), scales=_spec_for(name, p.scales),
-                group_size=p.group_size, bits=p.bits)
+                group_size=p.group_size, bits=p.bits, il=p.il)
         elif isinstance(p, QuantizedEmbedding):
             specs[name] = QuantizedEmbedding(
                 q=P(None, None), scales=P(None, None), group_size=p.group_size)

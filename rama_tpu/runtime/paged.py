@@ -103,7 +103,7 @@ def _forward_decode_fused_paged(params, cfg: ModelConfig, tokens: jax.Array,
     made paged mode lose to dense slots in round 1).
     """
     from rama_tpu.models.llama import (_linear, _linear_layered, apply_rope,
-                                       kv_quant_rows, rmsnorm)
+                                       kv_quant_rows, rmsnorm, split_h13)
     from rama_tpu.ops.pallas.paged_attention import (
         paged_decode_attention_layer, paged_decode_attention_layer_q8)
 
@@ -179,7 +179,7 @@ def _forward_decode_fused_paged(params, cfg: ModelConfig, tokens: jax.Array,
         xb = rmsnorm(x, jnp.take(params["ffn_norm"], l, axis=0), cfg.norm_eps)
         if fused:
             h13 = _linear_layered(xb, params["w13"], l)
-            h1, h3 = jnp.split(h13, 2, axis=-1)
+            h1, h3 = split_h13(h13, params["w13"])
         else:
             h1 = _linear_layered(xb, params["w1"], l)
             h3 = _linear_layered(xb, params["w3"], l)
