@@ -105,7 +105,8 @@ def correctness_gate(params, cfg):
         w2_l = QuantizedTensor(q=w2.q[l], scales=w2.scales[l],
                                group_size=w2.group_size, bits=w2.bits)
         h13 = matmul_xla(x8, w13_l).astype(jnp.float32)
-        h1, h3 = jnp.split(h13, 2, axis=-1)
+        from rama_tpu.models.llama import split_h13
+        h1, h3 = split_h13(h13, w13)  # honors the interleaved column layout
         want_ffn = matmul_xla(
             (jax.nn.silu(h1) * h3).astype(jnp.bfloat16), w2_l)
         check("ffn_fused_layered",

@@ -58,16 +58,21 @@ def time_ffn(tag: str, m: int, bits: int, w13, w2):
 
 
 def main():
+    from rama_tpu.models.llama import _interleave_w13
+    from rama_tpu.ops.pallas.ffn import phase_a_tile
+
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
     for bits in (8, 4):
         w13, w2 = make(bits)
+        w13_il = _interleave_w13(w13, H, phase_a_tile(H, bits, GS))
         for m in (1, 8):
             ffn._FORCE_DEQUANT = True
             time_ffn("phaseA dequant-in-VMEM", m, bits, w13, w2)
             ffn._FORCE_DEQUANT = False
             time_ffn("phaseA accscale", m, bits, w13, w2)
-        del w13, w2
+            time_ffn("phaseA accscale+interleave", m, bits, w13_il, w2)
+        del w13, w13_il, w2
 
 
 if __name__ == "__main__":
