@@ -44,6 +44,14 @@ from rama_tpu.ops.quant import QuantizedTensor
 # (tools/bench_ffn.py measures accscale vs dequant on the device timeline).
 _FORCE_DEQUANT = False
 
+# Accscale phase B: phase A stores the hidden activation TRANSPOSED
+# ((bh, M) tiles), so phase B can slice whole scale groups on the sublane
+# dim and apply w2's scales to the (M, bn) partials — no dequantized w2
+# tile and, for int4, no nibble-interleave concat. Costs one (M, bh)
+# transpose per phase-A step and a lane-padded scratch ((bh, M) tiles pad
+# M up to a 128-lane tile). Off until the device timeline proves it.
+_PHASE_B_ACC = False
+
 
 def phase_a_tile(h: int, bits: int, gs2: int) -> int | None:
     """The phase-A hidden tile bh — shared between the kernel and
@@ -102,8 +110,16 @@ def _acc_dots8(xg_ref, q, s, gs: int):
     return acc
 
 
+def _dotg0(a, b):
+    """(gs, M) x (gs, bn) -> (M, bn): contract dim 0 of both (the MXU takes
+    the lhs transpose for free via dot_general dimension numbers)."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _kernel(l_ref, *refs, gs13: int, gs2: int, nh: int, nn: int, bh: int,
-            bits: int, out_dtype, dot_dtype, acc_mode: bool, il: bool):
+            bits: int, out_dtype, dot_dtype, acc_mode: bool, il: bool,
+            acc_b: bool):
     nx = 1 if bits == 8 else 2
     xrefs = refs[:nx]
     if il:
@@ -146,7 +162,8 @@ def _kernel(l_ref, *refs, gs13: int, gs2: int, nh: int, nn: int, bh: int,
                  + jnp.dot(xhi, w1hi, preferred_element_type=jnp.float32))
             c = (jnp.dot(xlo, w3lo, preferred_element_type=jnp.float32)
                  + jnp.dot(xhi, w3hi, preferred_element_type=jnp.float32))
-        h_ref[p] = (a * jax.lax.logistic(a) * c).astype(jnp.bfloat16)
+        o = (a * jax.lax.logistic(a) * c).astype(jnp.bfloat16)
+        h_ref[p] = o.T if acc_b else o
 
     @pl.when(p >= nh)
     def _():
@@ -156,10 +173,33 @@ def _kernel(l_ref, *refs, gs13: int, gs2: int, nh: int, nn: int, bh: int,
         for j in range(nh):
             qs = q2_ref[0, j * (bh // kpack):(j + 1) * (bh // kpack)]
             ss = s2_ref[0, j * (bh // gs2):(j + 1) * (bh // gs2)]
-            w2j = (dequant_int8(qs, ss, gs2, dot_dtype) if bits == 8
-                   else _dequant4(qs, ss, gs2, dot_dtype))
-            acc += jnp.dot(h_ref[j].astype(dot_dtype), w2j,
-                           preferred_element_type=jnp.float32)
+            if acc_b and bits == 8:
+                # h is transposed (bh, M): per-group dots of raw int8 rows,
+                # scales applied to the (M, bn) partials
+                hj = h_ref[j].astype(jnp.float32)
+                w = qs.astype(jnp.float32)
+                for g in range(bh // gs2):
+                    r = slice(g * gs2, (g + 1) * gs2)
+                    acc += _dotg0(hj[r], w[r]) * ss[g]
+            elif acc_b:
+                # int4: the two nibble planes of a 2*gs packing block dot
+                # against their contiguous gs-run of transposed h rows —
+                # no interleave concat, scales on the partials
+                hj = h_ref[j].astype(jnp.float32)
+                p32 = qs.astype(jnp.int32)
+                lo = ((p32 << 28) >> 28).astype(jnp.float32)
+                hi = (p32 >> 4).astype(jnp.float32)
+                for b2 in range(bh // (2 * gs2)):
+                    br = slice(b2 * gs2, (b2 + 1) * gs2)
+                    acc += _dotg0(hj[2 * b2 * gs2:(2 * b2 + 1) * gs2],
+                                  lo[br]) * ss[2 * b2]
+                    acc += _dotg0(hj[(2 * b2 + 1) * gs2:(2 * b2 + 2) * gs2],
+                                  hi[br]) * ss[2 * b2 + 1]
+            else:
+                w2j = (dequant_int8(qs, ss, gs2, dot_dtype) if bits == 8
+                       else _dequant4(qs, ss, gs2, dot_dtype))
+                acc += jnp.dot(h_ref[j].astype(dot_dtype), w2j,
+                               preferred_element_type=jnp.float32)
         o_ref[...] = acc.astype(out_dtype)
 
 
@@ -204,7 +244,6 @@ def ffn_tileable(w13: QuantizedTensor, w2: QuantizedTensor,
     return vmem < 12 * 1024 * 1024
 
 
-@partial(jax.jit, static_argnames=("interpret",))
 def ffn_fused_layered(x: jax.Array, w13: QuantizedTensor, w2: QuantizedTensor,
                       layer: jax.Array, *, interpret: bool = False) -> jax.Array:
     """x (M, K) -> (silu(x@W1[l]) * (x@W3[l])) @ W2[l], one pallas_call.
@@ -213,6 +252,19 @@ def ffn_fused_layered(x: jax.Array, w13: QuantizedTensor, w2: QuantizedTensor,
     the tile-interleaved layout (w13.il == bh, the layout fuse_params
     produces when this kernel applies); w2: (L, H, N).
     """
+    m, k = x.shape
+    # the variant flags resolve OUTSIDE the jitted impl (a module global
+    # read inside a traced body would be baked into a stale jit cache)
+    acc_mode = m <= 32 and (k // w13.group_size) <= 96 and not _FORCE_DEQUANT
+    acc_b = _PHASE_B_ACC and m <= 32
+    return _ffn_fused_impl(x, w13, w2, layer, interpret=interpret,
+                           acc_mode=acc_mode, acc_b=acc_b)
+
+
+@partial(jax.jit, static_argnames=("interpret", "acc_mode", "acc_b"))
+def _ffn_fused_impl(x: jax.Array, w13: QuantizedTensor, w2: QuantizedTensor,
+                    layer: jax.Array, *, interpret: bool, acc_mode: bool,
+                    acc_b: bool) -> jax.Array:
     m, k = x.shape
     h = w2.shape[-2]
     n = w2.shape[-1]
@@ -227,8 +279,6 @@ def ffn_fused_layered(x: jax.Array, w13: QuantizedTensor, w2: QuantizedTensor,
     il = bool(w13.il)
     bn = _pick_tile(n, 512 if bits == 4 else 256, 128)
     nh, nn = h // bh, n // bn    # w13 column blocks: W3 starts at block nh
-
-    acc_mode = m <= 32 and (k // gs13) <= 96 and not _FORCE_DEQUANT
     if bits == 8 and acc_mode:
         from rama_tpu.ops.pallas.quant_matmul import _group_x
 
@@ -289,12 +339,13 @@ def ffn_fused_layered(x: jax.Array, w13: QuantizedTensor, w2: QuantizedTensor,
         ],
         out_specs=pl.BlockSpec((m, bn),
                                lambda p, sc: (0, jnp.maximum(p - nh, 0))),
-        scratch_shapes=[pltpu.VMEM((nh, m, bh), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((nh, bh, m) if acc_b else (nh, m, bh),
+                                   jnp.bfloat16)],
     )
     return pl.pallas_call(
         partial(_kernel, gs13=gs13, gs2=gs2, nh=nh, nn=nn, bh=bh, bits=bits,
                 out_dtype=x.dtype, dot_dtype=_dot_dtype(m),
-                acc_mode=acc_mode, il=il),
+                acc_mode=acc_mode, il=il, acc_b=acc_b),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
         compiler_params=pltpu.CompilerParams(

@@ -90,6 +90,34 @@ def test_ffn_fused_interleaved_matches_plain(bits, m):
         np.testing.assert_array_equal(np.asarray(plain), np.asarray(il))
 
 
+@pytest.mark.parametrize("bits", [8, 4])
+@pytest.mark.parametrize("m", [1, 8])
+def test_ffn_fused_phase_b_acc_matches(bits, m):
+    """The transposed-scratch accscale phase B is numerically equivalent to
+    the dequant-in-VMEM phase B (scales distribute over the group dots)."""
+    from rama_tpu.ops.pallas import ffn as ffn_mod
+
+    rng = np.random.default_rng(23 + bits)
+    L, K, H = 2, 256, 512
+    gs = 64
+    quant = quantize_int8 if bits == 8 else quantize_int4
+    w13 = _stack(quant, [rng.standard_normal((K, 2 * H)).astype(np.float32) * 0.1
+                         for _ in range(L)], gs)
+    w2 = _stack(quant, [rng.standard_normal((H, K)).astype(np.float32) * 0.1
+                        for _ in range(L)], gs)
+    x = jnp.asarray(rng.standard_normal((m, K)).astype(np.float32) * 0.5,
+                    jnp.bfloat16)
+    try:
+        ffn_mod._PHASE_B_ACC = True
+        got = ffn_fused_layered(x, w13, w2, jnp.int32(1), interpret=True)
+    finally:
+        ffn_mod._PHASE_B_ACC = False
+    want = ffn_fused_layered(x, w13, w2, jnp.int32(1), interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=5e-3, rtol=5e-3)
+
+
 def test_split_h13_inverts_interleave():
     from rama_tpu.models.llama import _interleave_w13, split_h13
     from rama_tpu.ops.quant import dequantize

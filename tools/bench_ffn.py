@@ -72,6 +72,9 @@ def main():
             ffn._FORCE_DEQUANT = False
             time_ffn("phaseA accscale", m, bits, w13, w2)
             time_ffn("phaseA accscale+interleave", m, bits, w13_il, w2)
+            ffn._PHASE_B_ACC = True
+            time_ffn("+phaseB accscale", m, bits, w13_il, w2)
+            ffn._PHASE_B_ACC = False
         del w13, w13_il, w2
 
 
