@@ -95,6 +95,12 @@ class EngineConfig:
     # cache HBM traffic and doubles slot capacity). Dense slots only.
     kv_quant: str | None = None
 
+    # Speculative serving: draft this many tokens per engine tick by per-slot
+    # n-gram prompt lookup and verify the whole chunk in ONE batched forward
+    # (one weight stream for up to spec_tick+1 emitted tokens per slot).
+    # 0 = off (plain decode_tick scan). Dense slots, single host, tp=1.
+    spec_tick: int = 0
+
     # Parallelism knobs.
     tp_size: int = 1
     dp_size: int = 1

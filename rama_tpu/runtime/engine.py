@@ -59,13 +59,17 @@ class Request:
 
 
 class _Slot:
-    __slots__ = ("request", "pos", "generated", "last_token")
+    __slots__ = ("request", "pos", "generated", "last_token",
+                 "hist", "hist_len")
 
     def __init__(self):
         self.request: Request | None = None
         self.pos = 0
         self.generated = 0
         self.last_token = 0
+        # token history (prompt + emitted), the n-gram draft source
+        self.hist: np.ndarray | None = None
+        self.hist_len = 0
 
     @property
     def free(self) -> bool:
@@ -125,6 +129,35 @@ def _decode_tick_paged(params, cfg: ModelConfig, tokens, pos, temps, top_ps,
     keys = jax.random.split(key, n)
     (_, _, cache), out = jax.lax.scan(body, (tokens, pos, cache), keys)
     return out, cache
+
+
+@partial(jax.jit, static_argnames=("cfg", "k"), donate_argnames=("cache",))
+def _spec_tick(params, cfg: ModelConfig, chunk, pos0, temps, top_ps, key,
+               cache: KVCache, k: int):
+    """Speculative engine tick: verify k drafted tokens per slot in ONE
+    batched chunk forward (one weight stream for up to k+1 emitted tokens
+    per slot, vs k+1 streams for the plain scan tick).
+
+    chunk (B, k+1) = [current token | k host-drafted tokens]; pos0 (B,) the
+    position of the current token. Every chunk position samples from the
+    *target* distribution; drafts are accepted while they equal those
+    samples, so the emitted stream is a valid model sample regardless of
+    draft quality (same sample-then-compare scheme as
+    runtime.speculative). Rejected positions' KV rows hold garbage that is
+    rewritten before any query attends them (write-before-attend).
+
+    Returns (samples (k+1, B), accept (B,) in [0, k], cache).
+    """
+    b, t = chunk.shape
+    pos_index = pos0[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+    logits, cache = forward(params, cfg, chunk, pos_index, cache)  # (B,T,V)
+    keys = jax.random.split(key, t)
+    samples = jnp.stack([
+        sample_batched(logits[:, j], keys[j], temps, top_ps)
+        for j in range(t)])                                        # (T, B)
+    ok = (chunk[:, 1:].T == samples[:k])                           # (k, B)
+    accept = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=0), axis=0)
+    return samples, accept, cache
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -191,6 +224,9 @@ class Engine:
         self.kv_quant = self.ecfg.kv_quant
         if self.kv_quant not in (None, "int8"):
             raise ValueError(f"unsupported kv_quant {self.kv_quant!r}")
+        self.spec = self.ecfg.spec_tick
+        if self.spec and (self.paged or self.tp > 1):
+            raise ValueError("spec_tick requires dense slots and tp_size=1")
         if self.tp > 1:
             from rama_tpu.parallel.tp import validate_tp
 
@@ -198,6 +234,8 @@ class Engine:
         # Multi-host: host 0 fronts scheduling/IO; every other process runs
         # follow(), replaying the broadcast device-call sequence in lockstep.
         self.multihost = jax.process_count() > 1
+        if self.multihost and self.spec:
+            raise ValueError("spec_tick is single-host only")
         if self.multihost and self.tp <= 1:
             raise ValueError("multi-host serving requires tp_size > 1 "
                              "(a global mesh to shard over)")
@@ -274,6 +312,8 @@ class Engine:
             "ttft_ms": [],          # recent TTFTs
             "decode_ticks": 0,
             "decode_s": 0.0,
+            "spec_drafted": 0,
+            "spec_accepted": 0,
         }
 
     def _create_slot_cache(self, batch: int):
@@ -425,6 +465,11 @@ class Engine:
         slot.pos = len(ids)            # next decode position
         slot.generated = 0
         slot.last_token = first
+        # history buffer seeds the n-gram drafter; _emit appends each
+        # emitted token (including `first`, emitted just below)
+        slot.hist = np.zeros(self.max_len + max(self.spec, 1) + 1, np.int32)
+        slot.hist[: len(ids)] = ids
+        slot.hist_len = len(ids)
         if req.echo_prompt:
             # the reference stream re-emits prompt tokens while force-feeding
             # them (mod.rs:227-241); serving callers usually don't want that
@@ -499,6 +544,9 @@ class Engine:
             del self.metrics["ttft_ms"][:-256]
         slot.generated += 1
         req.tokens_out += 1
+        if slot.hist is not None and slot.hist_len < len(slot.hist):
+            slot.hist[slot.hist_len] = token
+            slot.hist_len += 1
         self.metrics["tokens_generated"] += 1
         text = self.tokenizer.decode_token(token)
         req.queue.put(text)
@@ -580,6 +628,36 @@ class Engine:
             temps[i] = s.request.temperature
             tps[i] = s.request.top_p
         self.key, sub = jax.random.split(self.key)
+        # Speculative tick: drafts verified in one chunk forward. Falls back
+        # to the plain scan tick when any slot is within spec_tick+1 of the
+        # cache end (chunk positions must stay < max_len).
+        if self.spec and all(s.pos + self.spec + 1 <= self.max_len
+                             for s in active):
+            k = self.spec
+            drafts = np.zeros((b, k), np.int32)
+            for i, s in enumerate(self.slots):
+                if not s.free:
+                    drafts[i] = self._draft(s, k)
+            chunk = np.concatenate([tokens[:, None], drafts], axis=1)
+            t0 = time.time()
+            samples, accept, self.cache = _spec_tick(
+                self.params, cfg, jnp.asarray(chunk), jnp.asarray(pos),
+                jnp.asarray(temps), jnp.asarray(tps), sub, self.cache, k)
+            samples, accept = np.asarray(samples), np.asarray(accept)
+            self.metrics["decode_ticks"] += 1
+            self.metrics["decode_s"] += time.time() - t0
+            self.metrics["spec_drafted"] += k * len(active)
+            for i, s in enumerate(self.slots):
+                if s.free:
+                    continue
+                self.metrics["spec_accepted"] += int(accept[i])
+                for j in range(int(accept[i]) + 1):
+                    s.pos += 1
+                    s.last_token = int(samples[j, i])
+                    self._emit(s, s.last_token)
+                    if s.free:  # finished mid-chunk; drop the rest
+                        break
+            return
         # Shrink the tick so no slot overshoots its remaining token budget by
         # much: one dispatch still yields up to decode_tick tokens, but a tick
         # that would be >50% speculative waste drops to the tightest need.
@@ -615,6 +693,30 @@ class Engine:
         self.metrics["decode_ticks"] += 1
         self.metrics["decode_s"] += time.time() - t0
         self._emit_tick(nxt)
+
+    def _draft(self, slot: _Slot, k: int, gram: int = 2) -> np.ndarray:
+        """Host-side prompt-lookup draft: continue the most recent earlier
+        occurrence of the trailing `gram`-gram of the slot's token history
+        (same proposer as runtime.speculative.ngram_propose, in numpy — the
+        history lives host-side anyway). Falls back to repeating the last
+        token; acceptance in _spec_tick makes draft quality a latency knob,
+        never a correctness one."""
+        h, n = slot.hist, slot.hist_len
+        last = h[n - 1] if n else 0
+        if n < gram + 1:
+            return np.full(k, last, np.int32)
+        tail = h[n - gram:n]
+        win = np.lib.stride_tricks.sliding_window_view(h[:n], gram)
+        m = (win == tail).all(axis=1)
+        m[-1] = False  # the tail itself is not a continuation source
+        idx = np.nonzero(m)[0]
+        if len(idx) == 0:
+            return np.full(k, last, np.int32)
+        j = int(idx[-1]) + gram
+        out = h[j:min(j + k, n)]
+        if len(out) < k:
+            out = np.concatenate([out, np.full(k - len(out), last, np.int32)])
+        return out.astype(np.int32)
 
     def _dev_tick(self, tokens, pos, temps, tps, key, n: int) -> np.ndarray:
         """The device-side decode tick, executed identically on every host
@@ -668,6 +770,8 @@ class Engine:
             "decode_ticks": m["decode_ticks"],
             "decode_tok_per_s": (m["tokens_generated"] / m["decode_s"]
                                  if m["decode_s"] else 0.0),
+            "spec_accept_rate": (m["spec_accepted"] / m["spec_drafted"]
+                                 if m["spec_drafted"] else None),
             "ttft_p50_ms": ttfts[len(ttfts) // 2] if ttfts else None,
             "ttft_p95_ms": ttfts[int(len(ttfts) * 0.95)] if ttfts else None,
             "phases": self.phases.stats(),

@@ -203,3 +203,31 @@ def test_engine_recovers_from_device_error(engine_setup):
         assert out2 == [tok.decode_token(i) for i in want_ids]
     finally:
         eng.stop()
+
+
+def test_spec_tick_matches_oracle(engine_setup):
+    """Speculative serving (spec_tick > 0) emits the exact greedy stream
+    (sample-then-compare acceptance: draft quality only changes latency)."""
+    cfg, np_params, params, tok, ecfg = engine_setup
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(max_batch_size=4, spec_tick=3))
+    eng.start()
+    try:
+        reqs = [Request(prompt=p, steps=12, temperature=0.0)
+                for p in ("abc", "abab", "")]
+        for r in reqs:
+            eng.submit(r)
+        for r in reqs:
+            got = collect(r)
+            want_ids = oracle_chain(cfg, np_params, tok.encode(r.prompt), 12)
+            assert got == [tok.decode_token(i) for i in want_ids], r.prompt
+        st = eng.stats()
+        assert st["spec_accept_rate"] is not None  # the spec path actually ran
+    finally:
+        eng.stop()
+
+
+def test_spec_tick_rejects_bad_combos(engine_setup):
+    cfg, np_params, params, tok, ecfg = engine_setup
+    with pytest.raises(ValueError):
+        Engine(cfg, params, tok, EngineConfig(spec_tick=2, paged_kv=True))
