@@ -231,3 +231,23 @@ def test_spec_tick_rejects_bad_combos(engine_setup):
     cfg, np_params, params, tok, ecfg = engine_setup
     with pytest.raises(ValueError):
         Engine(cfg, params, tok, EngineConfig(spec_tick=2, paged_kv=True))
+
+
+def test_spec_tick_with_kv_quant_matches_plain(engine_setup):
+    """spec_tick composes with the int8 KV cache: identical greedy stream to
+    the non-speculative int8-cache engine (row quantization is per-position,
+    so chunked writes quantize exactly like step-by-step writes)."""
+    cfg, np_params, params, tok, ecfg = engine_setup
+    outs = []
+    for spec in (0, 3):
+        eng = Engine(cfg, params, tok,
+                     EngineConfig(max_batch_size=4, spec_tick=spec,
+                                  kv_quant="int8", decode_tick=1))
+        eng.start()
+        try:
+            r = Request(prompt="abab", steps=10, temperature=0.0)
+            eng.submit(r)
+            outs.append(collect(r))
+        finally:
+            eng.stop()
+    assert outs[0] == outs[1]
