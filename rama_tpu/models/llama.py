@@ -655,6 +655,149 @@ def _forward_decode_fused(params: Params, cfg: ModelConfig, tokens: jax.Array,
     return logits, _cache_rebuild(cache, tuple(cv_new))
 
 
+def _forward_chunk_fused(params: Params, cfg: ModelConfig, tokens: jax.Array,
+                         pos0: jax.Array, cache: KVCache,
+                         tp_axis: str | None = None,
+                         _interpret: bool = False):
+    """Chunk forward (2 <= T <= 8, consecutive positions) with the fused
+    layer-indexed attention kernels — the speculative-verification path.
+
+    Same structure as _forward_decode_fused (cache as scan carry written by
+    a row scatter; attention reads the stacked cache in place), but each
+    slot carries T consecutive queries at pos0[b]..pos0[b]+T-1. Without
+    this, a spec tick pays the generic (B, T) forward's per-layer cache
+    re-stacking — measured at ~2x a plain decode step, eating most of the
+    speculative win.
+    """
+    from rama_tpu.ops.pallas.decode_attention import (
+        chunk_attention_layer, chunk_attention_layer_q8,
+        chunk_attention_layer_tiled, chunk_attention_layer_tiled_q8)
+
+    b, t = tokens.shape
+    dtype = params["final_norm"].dtype
+    x = _embed(params["tok_embedding"], tokens, dtype)          # (B, T, D)
+    pos_index = pos0[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+    cos = jnp.take(params["rope_cos"], pos_index, axis=0)       # (B, T, hd/2)
+    sin = jnp.take(params["rope_sin"], pos_index, axis=0)
+    hd = cfg.head_dim
+    fused = "wqkv" in params
+    ffn_one_call = (
+        fused
+        and (jax.default_backend() == "tpu" or _interpret)
+        and isinstance(params.get("w13"), QuantizedTensor)
+        and _ffn_one_call_ok(params["w13"], params["w2"], b * t)
+    )
+
+    kv_quant = isinstance(cache, QuantKVCache)
+
+    def body(carry, l):
+        x, *cv = carry
+        k_c, v_c = cv[0], cv[1]
+        nkv_local = k_c.shape[2]
+
+        xb = rmsnorm(x, jnp.take(params["attn_norm"], l, axis=0), cfg.norm_eps)
+        if fused:
+            heads_total = cfg.n_heads + 2 * cfg.n_kv_heads
+            heads_local = params["wqkv"].shape[-1] // hd
+            nh = heads_local * cfg.n_heads // heads_total
+            nkv = heads_local * cfg.n_kv_heads // heads_total
+            qkv = _linear_layered(xb, params["wqkv"], l)
+            q = qkv[..., : nh * hd].reshape(b, t, nh, hd)
+            k = qkv[..., nh * hd : (nh + nkv) * hd].reshape(b, t, nkv, hd)
+            v = qkv[..., (nh + nkv) * hd :].reshape(b, t, nkv, hd)
+        else:
+            nh = params["wq"].shape[-1] // hd
+            nkv = params["wk"].shape[-1] // hd
+            q = _linear_layered(xb, params["wq"], l).reshape(b, t, nh, hd)
+            k = _linear_layered(xb, params["wk"], l).reshape(b, t, nkv, hd)
+            v = _linear_layered(xb, params["wv"], l).reshape(b, t, nkv, hd)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        bi = jnp.arange(b)[:, None, None]
+        hi = jnp.arange(nkv_local)[None, None, :]
+        pi = pos_index[:, :, None]
+        if kv_quant:
+            ks_c, vs_c = cv[2], cv[3]
+            kq, ksc = kv_quant_rows(k)           # (B,T,nkv,hd), (B,T,nkv)
+            vq, vsc = kv_quant_rows(v)
+            k_c = k_c.at[l, bi, hi, pi].set(kq)
+            v_c = v_c.at[l, bi, hi, pi].set(vq)
+            ks_c = ks_c.at[l, bi, hi, pi].set(ksc)
+            vs_c = vs_c.at[l, bi, hi, pi].set(vsc)
+            cv = (k_c, v_c, ks_c, vs_c)
+            if k_c.shape[3] > 256:
+                att = chunk_attention_layer_tiled_q8(
+                    q, k_c, v_c, ks_c, vs_c, pos0, l, interpret=_interpret)
+            else:
+                att = chunk_attention_layer_q8(
+                    q, k_c, v_c, ks_c, vs_c, pos0, l, interpret=_interpret)
+        else:
+            k_c = k_c.at[l, bi, hi, pi].set(k.astype(k_c.dtype))
+            v_c = v_c.at[l, bi, hi, pi].set(v.astype(v_c.dtype))
+            cv = (k_c, v_c)
+            if k_c.shape[3] > 256:
+                att = chunk_attention_layer_tiled(q, k_c, v_c, pos0, l,
+                                                  interpret=_interpret)
+            else:
+                att = chunk_attention_layer(q, k_c, v_c, pos0, l,
+                                            interpret=_interpret)
+        attn_out = _linear_layered(att, params["wo"], l)        # (B, T, D)
+        if tp_axis is not None:
+            attn_out = jax.lax.psum(attn_out, tp_axis)
+        x = x + attn_out
+
+        xb = rmsnorm(x, jnp.take(params["ffn_norm"], l, axis=0), cfg.norm_eps)
+        if ffn_one_call:
+            from rama_tpu.ops.pallas.ffn import ffn_fused_layered
+
+            ffn_out = ffn_fused_layered(
+                xb.reshape(b * t, -1), params["w13"], params["w2"], l,
+                interpret=_interpret,
+            ).reshape(b, t, -1)
+        else:
+            if fused:
+                h13 = _linear_layered(xb, params["w13"], l)
+                h1, h3 = split_h13(h13, params["w13"])
+            else:
+                h1 = _linear_layered(xb, params["w1"], l)
+                h3 = _linear_layered(xb, params["w3"], l)
+            ffn_out = _linear_layered(jax.nn.silu(h1) * h3, params["w2"], l)
+        if tp_axis is not None:
+            ffn_out = jax.lax.psum(ffn_out, tp_axis)
+        x = x + ffn_out
+        return (x, *cv), None
+
+    (x, *cv_new), _ = jax.lax.scan(
+        body, (x, *_cache_arrays(cache)),
+        jnp.arange(cfg.n_layers, dtype=jnp.int32),
+        unroll=4 if cfg.n_layers % 4 == 0 else 1)
+
+    x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+    logits = _linear(x, params["wcls"]).astype(jnp.float32)
+    if tp_axis is not None:
+        logits = jax.lax.all_gather(logits, tp_axis, axis=logits.ndim - 1,
+                                    tiled=True)
+    return logits, _cache_rebuild(cache, tuple(cv_new))
+
+
+def forward_chunk(params: Params, cfg: ModelConfig, tokens: jax.Array,
+                  pos0: jax.Array, cache: KVCache,
+                  tp_axis: str | None = None):
+    """Forward a (B, T) chunk of CONSECUTIVE tokens per slot: column j of
+    slot b sits at position pos0[b] + j. The speculative-verification entry
+    point (runtime.engine._spec_tick, runtime.speculative): on TPU with
+    2 <= T <= 8 it takes the fused carry-cache path, otherwise the generic
+    forward. Returns (logits (B, T, V) fp32, new cache)."""
+    b, t = tokens.shape
+    if (2 <= t <= 8 and jax.default_backend() == "tpu"
+            and _decode_attn_supported(cfg.n_heads, cfg.n_kv_heads,
+                                       cfg.head_dim, cache.max_len)):
+        return _forward_chunk_fused(params, cfg, tokens, pos0, cache, tp_axis)
+    pos_index = pos0[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+    return forward(params, cfg, tokens, pos_index, cache, tp_axis)
+
+
 def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
             pos_index: jax.Array, cache: KVCache, tp_axis: str | None = None,
             plen: jax.Array | None = None):

@@ -122,11 +122,23 @@ def decode_attention_layer(q: jax.Array, k_full: jax.Array, v_full: jax.Array,
     return out.reshape(b, nh * hd)
 
 
-def _kernel_layered(sc_ref, q_ref, k_ref, v_ref, o_ref, *, hb: int):
+def _row_mask(pos, s: int, tr: int, rep: int):
+    """(tr, s) causal mask for a chunk of consecutive queries: row r is
+    query position pos + r // rep (rows are t-major within a kv group)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (tr, s), 0) // rep
+    return jax.lax.broadcasted_iota(jnp.int32, (tr, s), 1) <= pos + row
+
+
+def _kernel_layered(sc_ref, q_ref, k_ref, v_ref, o_ref, *, hb: int,
+                    t: int = 1):
     s, hd = k_ref.shape[-2:]
     pos = sc_ref[pl.program_id(0)]
-    visible = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1) <= pos
-    if q_ref.shape[2] == 1:
+    tr = q_ref.shape[2]
+    if t == 1:
+        visible = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1) <= pos
+    else:
+        visible = _row_mask(pos, s, tr, tr // t)
+    if tr == 1:
         o_ref[0, :, 0, :] = _heads_vectorized(
             q_ref[0, :, 0, :], k_ref[0, 0], v_ref[0, 0], visible,
             o_ref.dtype)
@@ -137,14 +149,14 @@ def _kernel_layered(sc_ref, q_ref, k_ref, v_ref, o_ref, *, hb: int):
 
 
 def _kernel_tiled(sc_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
-                  *, c: int, nc: int, hb: int):
+                  *, c: int, nc: int, hb: int, t: int = 1):
     """Online-softmax accumulation over S chunks (flash-style): scratch holds
     the running max / normalizer / output; chunks past the slot's position
     are skipped (their DMA is elided by the repeated block index)."""
     b = pl.program_id(0)
     p = pl.program_id(2)
     pos = sc_ref[b]
-    last = jnp.minimum(pos // c, nc - 1)
+    last = jnp.minimum((pos + t - 1) // c, nc - 1)
 
     @pl.when(p == 0)
     def _():
@@ -156,8 +168,11 @@ def _kernel_tiled(sc_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
 
     @pl.when(p <= last)
     def _():
-        g = p * c + jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
-        mask = g <= pos
+        if t == 1:
+            g = p * c + jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+            mask = g <= pos
+        else:
+            mask = _row_mask(pos - p * c, c, rep, rep // t)
         if rep == 1:
             # MHA fast path: all hb heads in one 3-D elementwise+reduce —
             # 2*hb tiny per-head MXU dots cost more in launch latency than
@@ -292,10 +307,14 @@ def _one_head_q8(q, k, v, ks, vs, visible, out_dtype):
 
 
 def _kernel_q8(sc_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
-               *, layered: bool, hb: int):
+               *, layered: bool, hb: int, t: int = 1):
     s = k_ref.shape[-2]
     pos = sc_ref[pl.program_id(0)]
-    visible = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1) <= pos
+    if t == 1:
+        visible = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1) <= pos
+    else:
+        tr = q_ref.shape[2]
+        visible = _row_mask(pos, s, tr, tr // t)
     for h in range(hb):
         if layered:
             k, v = k_ref[0, 0, h], v_ref[0, 0, h]        # (S, hd) int8
@@ -381,12 +400,13 @@ def decode_attention_layer_q8(q: jax.Array, k8_full: jax.Array,
 
 
 def _kernel_tiled_q8(sc_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
-                     acc_ref, m_ref, l_ref, *, c: int, nc: int, hb: int):
+                     acc_ref, m_ref, l_ref, *, c: int, nc: int, hb: int,
+                     t: int = 1):
     """S-tiled int8-cache variant of _kernel_tiled (online softmax)."""
     b = pl.program_id(0)
     p = pl.program_id(2)
     pos = sc_ref[b]
-    last = jnp.minimum(pos // c, nc - 1)
+    last = jnp.minimum((pos + t - 1) // c, nc - 1)
 
     @pl.when(p == 0)
     def _():
@@ -398,8 +418,11 @@ def _kernel_tiled_q8(sc_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
 
     @pl.when(p <= last)
     def _():
-        g = p * c + jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
-        mask = g <= pos
+        if t == 1:
+            g = p * c + jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+            mask = g <= pos
+        else:
+            mask = _row_mask(pos - p * c, c, rep, rep // t)
         if rep == 1:
             # MHA fast path: whole head group in one 3-D product/reduce
             # (see _kernel_tiled); row scales apply per (head, position)
@@ -512,6 +535,225 @@ def decode_attention_layer_tiled_q8(q: jax.Array, k8_full: jax.Array,
     )(scalars, qg, k8_full, v8_full,
       ks_full[:, :, :, None, :], vs_full[:, :, :, None, :])
     return out.reshape(b, nh * hd)
+
+
+# ---------------------------------------------------------------------------
+# Chunked-query (T<=8) variants for speculative verification
+#
+# Same kernels as the T=1 layer-indexed paths, but each slot carries T
+# consecutive queries at positions pos0[b]..pos0[b]+T-1 (a draft chunk being
+# verified in one pass). Query rows are t-major within a kv group
+# (row r = t*rep + g), masked per row by _row_mask. One weight/cache stream
+# serves up to T emitted tokens per slot.
+# ---------------------------------------------------------------------------
+
+
+def _chunk_rows(q: jax.Array, nkv: int) -> jax.Array:
+    """(B, T, nh, hd) -> (B, nkv, T*rep, hd), rows t-major per kv group."""
+    b, t, nh, hd = q.shape
+    rep = nh // nkv
+    qh = q.transpose(0, 2, 1, 3).reshape(b, nkv, rep, t, hd)
+    return qh.transpose(0, 1, 3, 2, 4).reshape(b, nkv, t * rep, hd)
+
+
+def _chunk_unrows(out: jax.Array, b: int, t: int, nh: int,
+                  hd: int) -> jax.Array:
+    """(B, nkv, T*rep, hd) -> (B, T, nh*hd)."""
+    nkv = out.shape[1]
+    rep = nh // nkv
+    oh = out.reshape(b, nkv, t, rep, hd).transpose(0, 2, 1, 3, 4)
+    return oh.reshape(b, t, nh * hd)
+
+
+def chunk_attention_layer(q: jax.Array, k_full: jax.Array, v_full: jax.Array,
+                          pos0: jax.Array, layer: jax.Array,
+                          interpret: bool = False) -> jax.Array:
+    """decode_attention_layer for a (B, T, nh, hd) chunk of consecutive
+    queries; pos0 (B,) is the position of chunk column 0. Cache rows at
+    pos0+t must already hold the chunk's own K/V (written before the call,
+    as in the decode path). Returns (B, T, nh*hd)."""
+    b, t, nh, hd = q.shape
+    nkv, s = k_full.shape[2], k_full.shape[3]
+    rep = nh // nkv
+    hb = _pick_heads(nkv, 2 * s * hd * k_full.dtype.itemsize)
+    qg = _chunk_rows(q, nkv)
+    scalars = jnp.concatenate([pos0.astype(jnp.int32),
+                               layer.reshape(1).astype(jnp.int32)])
+    tr = t * rep
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nkv // hb),
+        in_specs=[
+            pl.BlockSpec((1, hb, tr, hd), lambda i, j, sc: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, hb, s, hd),
+                         lambda i, j, sc: (sc[sc.shape[0] - 1], i, j, 0, 0)),
+            pl.BlockSpec((1, 1, hb, s, hd),
+                         lambda i, j, sc: (sc[sc.shape[0] - 1], i, j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, hb, tr, hd), lambda i, j, sc: (i, j, 0, 0)),
+    )
+    out = pl.pallas_call(
+        partial(_kernel_layered, hb=hb, t=t),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nkv, tr, hd), q.dtype),
+        interpret=interpret,
+    )(scalars, qg, k_full, v_full)
+    return _chunk_unrows(out, b, t, nh, hd)
+
+
+def chunk_attention_layer_tiled(q: jax.Array, k_full: jax.Array,
+                                v_full: jax.Array, pos0: jax.Array,
+                                layer: jax.Array, *, chunk: int = 256,
+                                interpret: bool = False) -> jax.Array:
+    """S-tiled ragged chunk attention (see decode_attention_layer_tiled);
+    tiles past pos0[b]+T-1 elide their DMAs."""
+    b, t, nh, hd = q.shape
+    nkv, s = k_full.shape[2], k_full.shape[3]
+    rep = nh // nkv
+    c = max([d for d in range(8, min(chunk, s) + 1, 8) if s % d == 0],
+            default=s)
+    nc = s // c
+    hb = _pick_heads(nkv, 2 * c * hd * k_full.dtype.itemsize)
+    qg = _chunk_rows(q, nkv)
+    scalars = jnp.concatenate([pos0.astype(jnp.int32),
+                               layer.reshape(1).astype(jnp.int32)])
+    tr = t * rep
+
+    def kv_spec():
+        def idx(bi, j, p, sc):
+            last = jnp.minimum((sc[bi] + t - 1) // c, nc - 1)
+            return (sc[sc.shape[0] - 1], bi, j, jnp.minimum(p, last), 0)
+
+        return pl.BlockSpec((1, 1, hb, c, hd), idx)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nkv // hb, nc),
+        in_specs=[
+            pl.BlockSpec((1, hb, tr, hd), lambda bi, j, p, sc: (bi, j, 0, 0)),
+            kv_spec(),
+            kv_spec(),
+        ],
+        out_specs=pl.BlockSpec((1, hb, tr, hd),
+                               lambda bi, j, p, sc: (bi, j, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((hb, tr, hd), jnp.float32),
+            pltpu.VMEM((hb, tr, 128), jnp.float32),
+            pltpu.VMEM((hb, tr, 128), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        partial(_kernel_tiled, c=c, nc=nc, hb=hb, t=t),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nkv, tr, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(scalars, qg, k_full, v_full)
+    return _chunk_unrows(out, b, t, nh, hd)
+
+
+def chunk_attention_layer_q8(q: jax.Array, k8_full: jax.Array,
+                             v8_full: jax.Array, ks_full: jax.Array,
+                             vs_full: jax.Array, pos0: jax.Array,
+                             layer: jax.Array,
+                             interpret: bool = False) -> jax.Array:
+    """Chunked-query decode_attention_layer_q8 (int8 cache + row scales)."""
+    b, t, nh, hd = q.shape
+    nkv, s = k8_full.shape[2], k8_full.shape[3]
+    rep = nh // nkv
+    hb = _pick_heads(nkv, s * (2 * hd + 8))
+    qg = _chunk_rows(q, nkv)
+    scalars = jnp.concatenate([pos0.astype(jnp.int32),
+                               layer.reshape(1).astype(jnp.int32)])
+    tr = t * rep
+
+    def li(sc):
+        return sc[sc.shape[0] - 1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nkv // hb),
+        in_specs=[
+            pl.BlockSpec((1, hb, tr, hd), lambda i, j, sc: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, hb, s, hd),
+                         lambda i, j, sc: (li(sc), i, j, 0, 0)),
+            pl.BlockSpec((1, 1, hb, s, hd),
+                         lambda i, j, sc: (li(sc), i, j, 0, 0)),
+            pl.BlockSpec((1, 1, hb, 1, s),
+                         lambda i, j, sc: (li(sc), i, j, 0, 0)),
+            pl.BlockSpec((1, 1, hb, 1, s),
+                         lambda i, j, sc: (li(sc), i, j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, hb, tr, hd), lambda i, j, sc: (i, j, 0, 0)),
+    )
+    out = pl.pallas_call(
+        partial(_kernel_q8, layered=True, hb=hb, t=t),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nkv, tr, hd), q.dtype),
+        interpret=interpret,
+    )(scalars, qg, k8_full, v8_full,
+      ks_full[:, :, :, None, :], vs_full[:, :, :, None, :])
+    return _chunk_unrows(out, b, t, nh, hd)
+
+
+def chunk_attention_layer_tiled_q8(q: jax.Array, k8_full: jax.Array,
+                                   v8_full: jax.Array, ks_full: jax.Array,
+                                   vs_full: jax.Array, pos0: jax.Array,
+                                   layer: jax.Array, *, chunk: int = 256,
+                                   interpret: bool = False) -> jax.Array:
+    """S-tiled ragged chunk attention over an int8 cache."""
+    b, t, nh, hd = q.shape
+    nkv, s = k8_full.shape[2], k8_full.shape[3]
+    rep = nh // nkv
+    c = max([d for d in range(8, min(chunk, s) + 1, 8) if s % d == 0],
+            default=s)
+    nc = s // c
+    hb = _pick_heads(nkv, c * (2 * hd + 8))
+    qg = _chunk_rows(q, nkv)
+    scalars = jnp.concatenate([pos0.astype(jnp.int32),
+                               layer.reshape(1).astype(jnp.int32)])
+    tr = t * rep
+
+    def kv_idx(bi, j, p, sc):
+        last = jnp.minimum((sc[bi] + t - 1) // c, nc - 1)
+        return (sc[sc.shape[0] - 1], bi, j, jnp.minimum(p, last), 0)
+
+    def sc_idx(bi, j, p, sc):
+        last = jnp.minimum((sc[bi] + t - 1) // c, nc - 1)
+        return (sc[sc.shape[0] - 1], bi, j, 0, jnp.minimum(p, last))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nkv // hb, nc),
+        in_specs=[
+            pl.BlockSpec((1, hb, tr, hd), lambda bi, j, p, sc: (bi, j, 0, 0)),
+            pl.BlockSpec((1, 1, hb, c, hd), kv_idx),
+            pl.BlockSpec((1, 1, hb, c, hd), kv_idx),
+            pl.BlockSpec((1, 1, hb, 1, c), sc_idx),
+            pl.BlockSpec((1, 1, hb, 1, c), sc_idx),
+        ],
+        out_specs=pl.BlockSpec((1, hb, tr, hd),
+                               lambda bi, j, p, sc: (bi, j, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((hb, tr, hd), jnp.float32),
+            pltpu.VMEM((hb, tr, 128), jnp.float32),
+            pltpu.VMEM((hb, tr, 128), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        partial(_kernel_tiled_q8, c=c, nc=nc, hb=hb, t=t),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nkv, tr, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(scalars, qg, k8_full, v8_full,
+      ks_full[:, :, :, None, :], vs_full[:, :, :, None, :])
+    return _chunk_unrows(out, b, t, nh, hd)
 
 
 @partial(jax.jit, static_argnames=("interpret",))

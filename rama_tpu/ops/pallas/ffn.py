@@ -49,7 +49,10 @@ _FORCE_DEQUANT = False
 # dim and apply w2's scales to the (M, bn) partials — no dequantized w2
 # tile and, for int4, no nibble-interleave concat. Costs one (M, bh)
 # transpose per phase-A step and a lane-padded scratch ((bh, M) tiles pad
-# M up to a 128-lane tile). Off until the device timeline proves it.
+# M up to a 128-lane tile). Measured on v5e (tools/bench_ffn.py, 7B decode
+# shapes): neutral for int8 (183.4 vs 183.3 us), ~2% WORSE for int4
+# (116.0 vs 113.9 us — the transpose costs more than the concat saves), so
+# it stays off. Phase-A accscale itself is the win: int4 126.5 -> 114.2 us.
 _PHASE_B_ACC = False
 
 

@@ -35,7 +35,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from rama_tpu.config import EngineConfig, ModelConfig
-from rama_tpu.models.llama import KVCache, decode_step, forward
+from rama_tpu.models.llama import (KVCache, decode_step, forward,
+                                   forward_chunk)
 from rama_tpu.runtime.sampler import sample_batched
 from rama_tpu.tokenizer import BOS_ID, EOS_ID, Tokenizer
 
@@ -149,8 +150,7 @@ def _spec_tick(params, cfg: ModelConfig, chunk, pos0, temps, top_ps, key,
     Returns (samples (k+1, B), accept (B,) in [0, k], cache).
     """
     b, t = chunk.shape
-    pos_index = pos0[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
-    logits, cache = forward(params, cfg, chunk, pos_index, cache)  # (B,T,V)
+    logits, cache = forward_chunk(params, cfg, chunk, pos0, cache)  # (B,T,V)
     keys = jax.random.split(key, t)
     samples = jnp.stack([
         sample_batched(logits[:, j], keys[j], temps, top_ps)

@@ -39,7 +39,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from rama_tpu.config import ModelConfig
-from rama_tpu.models.llama import KVCache, decode_step, forward, prefill
+from rama_tpu.models.llama import (KVCache, decode_step, forward_chunk,
+                                   prefill)
 from rama_tpu.runtime.sampler import sample_top_p
 from rama_tpu.tokenizer import BOS_ID, Tokenizer
 
@@ -107,9 +108,8 @@ def _make_body(params, cfg, steps, k, temperature, top_p, key, proposer):
         cur = st.toks[pos]
         drafts, dcache = proposer(st, cur, pos)          # (k-1,), new dcache
         chunk = jnp.concatenate([cur[None], drafts])     # (k,)
-        pos_idx = pos + jnp.arange(k, dtype=jnp.int32)
-        logits, cache = forward(params, cfg, chunk[None], pos_idx[None],
-                                st.cache)
+        logits, cache = forward_chunk(params, cfg, chunk[None],
+                                      pos[None], st.cache)
         t = _sample_positions(logits[0], pos + 1, key, temperature, top_p)
         m = (drafts == t[:-1]).astype(jnp.int32)         # (k-1,)
         a = jnp.sum(jnp.cumprod(m))                      # leading accepts

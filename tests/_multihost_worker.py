@@ -9,7 +9,11 @@ broadcast device-call sequence.
 """
 
 import json
+import os
 import sys
+
+# self-sufficient import: the repo may not be pip-installed in the venv
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 pid, port = int(sys.argv[1]), sys.argv[2]
 

@@ -49,7 +49,10 @@ def time_ffn(tag: str, m: int, bits: int, w13, w2):
         np.asarray(outs[-1])
 
     run()  # compile + warm
-    us = best_device_time(run, "closed_call", divisor=REPS)
+    us = best_device_time(run, "_ffn_fused_impl.", divisor=REPS)
+    if us is None:
+        log(f"{tag:28s} m={m} bits={bits}: no device events matched")
+        return None
     wbytes = (K * 2 * H + H * K) * (1 if bits == 8 else 0.5) \
         + (K // GS * 2 * H + H // GS * K) * 4
     gbs = wbytes / (us * 1e3) if us else 0.0
