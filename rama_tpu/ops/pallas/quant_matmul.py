@@ -310,6 +310,15 @@ def quant_matmul_layered(x: jax.Array, qt: QuantizedTensor, layer: jax.Array,
               else _pick_k_block_int4(k, block_k, gs))
         bn = _pick_block(n, block_n, 128)
         bm = min(m, block_m)
+        if qt.bits == 4:
+            bn = _shrink_bn_int4(bk, bn, n)
+        if bn is None:
+            # no tiling fits scoped VMEM: XLA dynamic-slice + dequant path
+            from rama_tpu.ops.quant import matmul_xla
+            wl = QuantizedTensor(q=jnp.take(qt.q, layer, axis=0),
+                                 scales=jnp.take(qt.scales, layer, axis=0),
+                                 group_size=gs, bits=qt.bits)
+            return matmul_xla(x, wl, dtype=x.dtype)
         if m % bm:
             x = jnp.pad(x, ((0, bm - m % bm), (0, 0)))
         mp = x.shape[0]
@@ -360,6 +369,27 @@ def _split_x_planes(x: jax.Array, gs: int):
     xr = x.reshape(m, k // (2 * gs), 2, gs)
     return (xr[:, :, 0, :].reshape(m, k // 2),
             xr[:, :, 1, :].reshape(m, k // 2))
+
+
+# Mosaic's scoped-VMEM stack limit is 16 MB. The int4 dequant-in-VMEM kernel
+# (_kernel_int4{,_layered}) needs ~6 bytes of stack temps per weight-block
+# element (calibrated: a (5504, 512) block's nibble unpack OOMed at a
+# measured 17.16 MB — i32 unpack plus the scaled planes). K=11008 is the
+# shape that gets here: 2^8 * 43 has no multiple-of-512 divisor, so no legal
+# K tile exists and bk falls back to full K.
+_INT4_STACK_BUDGET = 14 * 1024 * 1024
+
+
+def _shrink_bn_int4(bk: int, bn: int, n: int) -> int | None:
+    """Halve bn (to a >=128 divisor of n) until the int4 kernel's dequant
+    temporaries fit Mosaic's scoped-VMEM stack; None when even bn=128 does
+    not fit (callers take the XLA path instead of a compile-time OOM)."""
+    while (bk // 2) * bn * 6 > _INT4_STACK_BUDGET:
+        nxt = _pick_block(n, bn // 2, 128)
+        if nxt >= bn or bn <= 128:
+            return None
+        bn = nxt
+    return bn
 
 
 def _pick_block(dim: int, target: int, multiple: int) -> int:
@@ -540,6 +570,13 @@ def quant_matmul(x: jax.Array, qt: QuantizedTensor, *, block_m: int = 256,
         # block-local packing: a K tile of bk logical rows is bk/2 packed
         # byte rows and bk/gs scale rows, all block-aligned by construction.
         bk = _pick_k_block_int4(k, block_k, gs)
+        bn = _shrink_bn_int4(bk, bn, n)
+        if bn is None:
+            from rama_tpu.ops.quant import matmul_xla
+            return matmul_xla(x[:m], qt, dtype=x.dtype)
+        # bn may have shrunk since `common` was built
+        common["out_specs"] = pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j))
+        common["scratch_shapes"] = [pltpu.VMEM((bm, bn), jnp.float32)]
         grid = (mp // bm, n // bn, k // bk)
         x_lo, x_hi = _split_x_planes(x, gs)
         out = pl.pallas_call(

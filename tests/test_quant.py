@@ -159,3 +159,39 @@ def test_accscale_decode_path_matches_xla(bits):
     np.testing.assert_allclose(np.asarray(got_l, np.float32),
                                np.asarray(want, np.float32),
                                atol=0.1, rtol=0.1)
+
+
+def test_int4_full_k_fallback_shrinks_bn():
+    """K=11008 (2^8 * 43) has no legal int4 K tile, so bk falls back to the
+    full K; the VMEM guard must then shrink bn so the dequant temporaries fit
+    Mosaic's 16 MB scoped-VMEM stack (a (5504, 512) block needs a measured
+    ~17.2 MB and is a hard compile error on the chip)."""
+    from rama_tpu.ops.pallas.quant_matmul import (_pick_k_block_int4,
+                                                  _shrink_bn_int4)
+
+    assert _pick_k_block_int4(11008, 1024, 64) == 11008  # forced full K
+    assert _shrink_bn_int4(11008, 512, 4096) == 256      # 16.9M -> 8.45M
+    assert _shrink_bn_int4(1024, 512, 4096) == 512       # tiled: untouched
+    assert _shrink_bn_int4(11008 * 4, 512, 4096) is None  # nothing fits
+
+    # numerics through the shrunken-bn kernel (interpret), gs=64 like the
+    # bench's synthetic weights (quantize_int4 itself reduces gs to 16 at
+    # these K for TP alignment, which re-legalizes a bk=256 tile — the
+    # full-K fallback needs directly-constructed gs=64 tensors to trigger)
+    from rama_tpu.ops.pallas.quant_matmul import quant_matmul_layered
+
+    rng = np.random.default_rng(7)
+    k, n, gs = 11008, 512, 64  # initial bn=512 -> shrunk to 256 in-kernel
+    q = jnp.asarray(rng.integers(-128, 128, (2, k // 2, n)), jnp.int8)
+    s = jnp.asarray(rng.uniform(0.5, 1.5, (2, k // gs, n)) / np.sqrt(k),
+                    jnp.float32)
+    x = jnp.asarray(rng.standard_normal((4, k)) * 0.5, jnp.bfloat16)
+    qt = QuantizedTensor(q=q[1], scales=s[1], group_size=gs, bits=4)
+    want = np.asarray(matmul_xla(x, qt), np.float32)
+    got = np.asarray(quant_matmul(x, qt, interpret=True), np.float32)
+    np.testing.assert_allclose(got, want, atol=0.1, rtol=0.1)
+
+    stacked = QuantizedTensor(q=q, scales=s, group_size=gs, bits=4)
+    got_l = np.asarray(quant_matmul_layered(x, stacked, jnp.int32(1),
+                                            interpret=True), np.float32)
+    np.testing.assert_allclose(got_l, want, atol=0.1, rtol=0.1)
