@@ -47,6 +47,7 @@ def dequant_int8(w8, scales, gs: int, dot_dtype=jnp.float32):
     broadcast goes through reshape instead.)
     """
     k, n = w8.shape
+    scales = scales.astype(jnp.float32)  # bf16-stored scales upcast in VMEM
     w = (w8.astype(jnp.float32).reshape(k // gs, gs, n)
          * scales[:, None, :]).reshape(k, n)
     return w if dot_dtype == jnp.float32 else w.astype(dot_dtype)
@@ -71,7 +72,7 @@ def dequant_int4_planes(packed, scales, gs: int, dot_dtype=jnp.float32):
     nb = k2 // gs
     lo = ((p32 << 28) >> 28).astype(jnp.float32)     # sign-extended low nibble
     hi = (p32 >> 4).astype(jnp.float32)              # int8 sign == nibble sign
-    s = scales.reshape(nb, 2, n)
+    s = scales.astype(jnp.float32).reshape(nb, 2, n)
     wlo = (lo.reshape(nb, gs, n) * s[:, 0:1, :]).reshape(k2, n)
     whi = (hi.reshape(nb, gs, n) * s[:, 1:2, :]).reshape(k2, n)
     if dot_dtype != jnp.float32:
@@ -132,7 +133,7 @@ def _kernel_int4_acc(xlo_ref, xhi_ref, q_ref, s_ref, o_ref, acc_ref, *,
     nb = bk2 // gs
     lo = ((p32 << 28) >> 28).astype(jnp.float32)
     hi = (p32 >> 4).astype(jnp.float32)
-    s = s_ref[...].reshape(nb, 2, bn)
+    s = s_ref[...].astype(jnp.float32).reshape(nb, 2, bn)
     acc = acc_ref[...]
     for g in range(nb):
         rows = slice(g * gs, (g + 1) * gs)
@@ -160,7 +161,7 @@ def _kernel_int4_acc_layered(l_ref, xlo_ref, xhi_ref, q_ref, s_ref, o_ref,
     nb = bk2 // gs
     lo = ((p32 << 28) >> 28).astype(jnp.float32)
     hi = (p32 >> 4).astype(jnp.float32)
-    s = s_ref[0].reshape(nb, 2, bn)
+    s = s_ref[0].astype(jnp.float32).reshape(nb, 2, bn)
     acc = acc_ref[...]
     for g in range(nb):
         rows = slice(g * gs, (g + 1) * gs)
@@ -188,7 +189,7 @@ def _kernel_int8_acc(x_ref, q_ref, s_ref, o_ref, acc_ref, *, gs: int,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     w = q_ref[...].astype(jnp.float32)
-    s = s_ref[...]
+    s = s_ref[...].astype(jnp.float32)
     nb = w.shape[0] // gs
     acc = acc_ref[...]
     for g in range(nb):
@@ -210,7 +211,7 @@ def _kernel_int8_acc_layered(l_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     w = q_ref[0].astype(jnp.float32)
-    s = s_ref[0]
+    s = s_ref[0].astype(jnp.float32)
     nb = w.shape[0] // gs
     acc = acc_ref[...]
     for g in range(nb):
@@ -413,11 +414,17 @@ def _pick_k_block(k: int, target: int, gs: int) -> int:
     return max(cands) if cands else k
 
 
-def _pick_k_block_int4(k: int, target: int, gs: int) -> int:
+def _srow_mult(scales) -> int:
+    """Sublane multiple a non-full scale BLOCK's row count must honor:
+    16 for bf16-stored scales (two rows per packed sublane), 8 for f32."""
+    return 16 if scales.dtype == jnp.bfloat16 else 8
+
+
+def _pick_k_block_int4(k: int, target: int, gs: int, srm: int = 8) -> int:
     """int4 K tile: additionally whole 2*gs packing blocks and a byte-row
     count (bk/2) on 8-sublane boundaries; full K is always legal."""
     cands = [d for d in range(2 * gs, min(k, target) + 1, 2 * gs)
-             if k % d == 0 and (d // gs) % 8 == 0 and d % 256 == 0]
+             if k % d == 0 and (d // gs) % srm == 0 and d % 256 == 0]
     return max(cands) if cands else k
 
 
@@ -439,7 +446,7 @@ def _group_x(x: jax.Array, gs: int):
 
 
 def _pick_k_block_int4_acc(k: int, bn: int, gs: int,
-                           max_groups: int = 96) -> int | None:
+                           max_groups: int = 96, srm: int = 8) -> int | None:
     """K tile for the accscale decode kernel: big blocks win (the DMA floor
     at 256 KB blocks is ~620 GB/s vs ~746 at 2 MB), bounded by ~6 MB of
     VMEM per packed block and by the static per-group dot unroll
