@@ -92,7 +92,9 @@ class EngineConfig:
     quant: str | None = None  # None | "int8" | "int4" (weight-only group quant)
     quant_group_size: int = 64
     # KV-cache quantization: None | "int8" (per-token-per-head absmax; halves
-    # cache HBM traffic and doubles slot capacity). Dense slots only.
+    # cache HBM traffic and doubles slot capacity). Composes with dense slots,
+    # the paged pool, and tensor parallelism (tests/test_paged.py,
+    # tests/test_kv_quant.py).
     kv_quant: str | None = None
 
     # Speculative serving: draft this many tokens per engine tick by per-slot

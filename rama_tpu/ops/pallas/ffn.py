@@ -86,7 +86,8 @@ def _acc_dots(xlo_ref, xhi_ref, q, s, gs: int):
     nb = bk2 // gs
     lo = ((p32 << 28) >> 28).astype(jnp.float32)
     hi = (p32 >> 4).astype(jnp.float32)
-    sg = s.reshape(nb, 2, bn)
+    # bf16-stored scales upcast in VMEM (same convention as dequant_int8)
+    sg = s.astype(jnp.float32).reshape(nb, 2, bn)
     acc = jnp.zeros((xlo_ref.shape[1], bn), jnp.float32)
     for g in range(nb):
         rows = slice(g * gs, (g + 1) * gs)
@@ -104,6 +105,7 @@ def _acc_dots8(xg_ref, q, s, gs: int):
     partials (exact numerics; see quant_matmul._kernel_int8_acc). x arrives
     pre-grouped (groups, M, gs)."""
     w = q.astype(jnp.float32)
+    s = s.astype(jnp.float32)  # bf16-stored scales upcast in VMEM
     nb = w.shape[0] // gs
     acc = jnp.zeros((xg_ref.shape[1], q.shape[-1]), jnp.float32)
     for g in range(nb):

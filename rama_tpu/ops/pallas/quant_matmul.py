@@ -273,15 +273,16 @@ def quant_matmul_layered(x: jax.Array, qt: QuantizedTensor, layer: jax.Array,
     assert k == kq, f"K mismatch: x {k} vs qt {kq}"
     gs = qt.group_size
 
+    srm = _srow_mult(qt.scales)
     acc_bk = None
     if m <= 32:
         if qt.bits == 4:
             bn_acc = _pick_block(n, 1024, 128)
-            acc_bk = _pick_k_block_int4_acc(k, bn_acc, gs)
+            acc_bk = _pick_k_block_int4_acc(k, bn_acc, gs, srm=srm)
         else:
             # 640 only kicks in for vocab-ish N (32000); 512 otherwise
             bn_acc = _pick_block(n, 640, 128)
-            acc_bk = _pick_k_block_int8_acc(k, gs)
+            acc_bk = _pick_k_block_int8_acc(k, gs, srm=srm)
     if acc_bk is not None:
         # decode path: accscale kernels, big blocks (see _kernel_int4_acc /
         # _kernel_int8_acc)
@@ -307,8 +308,8 @@ def quant_matmul_layered(x: jax.Array, qt: QuantizedTensor, layer: jax.Array,
                              out_dtype=x.dtype)
             k_pack = 1
     else:
-        bk = (_pick_k_block(k, block_k, gs) if qt.bits == 8
-              else _pick_k_block_int4(k, block_k, gs))
+        bk = (_pick_k_block(k, block_k, gs, srm=srm) if qt.bits == 8
+              else _pick_k_block_int4(k, block_k, gs, srm=srm))
         bn = _pick_block(n, block_n, 128)
         bm = min(m, block_m)
         if qt.bits == 4:
@@ -405,12 +406,12 @@ def _pick_block(dim: int, target: int, multiple: int) -> int:
     return best if dim % best == 0 else dim
 
 
-def _pick_k_block(k: int, target: int, gs: int) -> int:
+def _pick_k_block(k: int, target: int, gs: int, srm: int = 8) -> int:
     """K-tile size: a divisor of k, whole scale groups per tile, and Mosaic
-    block-shape legal — bk%128 lanes for the x block and (bk//gs)%8 sublanes
-    for the scales block — or the full K (always legal)."""
+    block-shape legal — bk%128 lanes for the x block and (bk//gs)%srm sublanes
+    for the scales block (srm from _srow_mult) — or the full K (always legal)."""
     cands = [d for d in range(gs, min(k, target) + 1, gs)
-             if k % d == 0 and (d // gs) % 8 == 0 and d % 128 == 0]
+             if k % d == 0 and (d // gs) % srm == 0 and d % 128 == 0]
     return max(cands) if cands else k
 
 
@@ -428,14 +429,14 @@ def _pick_k_block_int4(k: int, target: int, gs: int, srm: int = 8) -> int:
     return max(cands) if cands else k
 
 
-def _pick_k_block_int8_acc(k: int, gs: int,
-                           max_groups: int = 96) -> int | None:
+def _pick_k_block_int8_acc(k: int, gs: int, max_groups: int = 96,
+                           srm: int = 8) -> int | None:
     """K tile for the int8 accscale decode kernel: bk=2048 measured best
     (719-739 GB/s vs 619-658 at 1024; 4096 slightly worse), bounded by the
     static per-group unroll. None when no legal tile exists."""
     limit = min(k, 2048, max_groups * gs)
     cands = [d for d in range(gs, limit + 1, gs)
-             if k % d == 0 and (d // gs) % 8 == 0 and d % 128 == 0]
+             if k % d == 0 and (d // gs) % srm == 0 and d % 128 == 0]
     return max(cands) if cands else None
 
 
@@ -454,7 +455,7 @@ def _pick_k_block_int4_acc(k: int, bn: int, gs: int,
     to the dequant-in-VMEM kernel)."""
     limit = min(k, (6 * 1024 * 1024) // bn * 2, max_groups * 2 * gs)
     cands = [d for d in range(2 * gs, limit + 1, 2 * gs)
-             if k % d == 0 and (d // gs) % 8 == 0 and d % 256 == 0]
+             if k % d == 0 and (d // gs) % srm == 0 and d % 256 == 0]
     return max(cands) if cands else None
 
 
@@ -478,8 +479,9 @@ def quant_matmul(x: jax.Array, qt: QuantizedTensor, *, block_m: int = 256,
     kq, n = qt.shape[-2], qt.shape[-1]
     assert k == kq, f"K mismatch: x {k} vs qt {kq}"
     gs = qt.group_size
+    srm = _srow_mult(qt.scales)
 
-    bk = _pick_k_block(k, block_k, gs)
+    bk = _pick_k_block(k, block_k, gs, srm=srm)
     bn = _pick_block(n, block_n, 128)
     bm = min(m, block_m)
     if m % bm:  # pad M up to a tile
@@ -498,7 +500,7 @@ def quant_matmul(x: jax.Array, qt: QuantizedTensor, *, block_m: int = 256,
     )
 
     if qt.bits == 8 and m <= 32 and (acc_bk8 := _pick_k_block_int8_acc(
-            k, gs)) is not None:
+            k, gs, srm=srm)) is not None:
         # decode path: accscale kernel, bk=2048 blocks (see _kernel_int8_acc)
         bk = acc_bk8
         bn = _pick_block(n, 640, 128)   # 640 kicks in for vocab-ish N
@@ -543,7 +545,8 @@ def quant_matmul(x: jax.Array, qt: QuantizedTensor, *, block_m: int = 256,
             ),
             **common,
         )(x, qt.q, qt.scales)
-    elif (acc_bk := _pick_k_block_int4_acc(k, _pick_block(n, 1024, 128), gs)
+    elif (acc_bk := _pick_k_block_int4_acc(k, _pick_block(n, 1024, 128), gs,
+                                           srm=srm)
           if m <= 32 else None) is not None:
         # decode path: accscale kernel, big blocks (see _kernel_int4_acc)
         bn = _pick_block(n, 1024, 128)
@@ -576,7 +579,7 @@ def quant_matmul(x: jax.Array, qt: QuantizedTensor, *, block_m: int = 256,
     else:
         # block-local packing: a K tile of bk logical rows is bk/2 packed
         # byte rows and bk/gs scale rows, all block-aligned by construction.
-        bk = _pick_k_block_int4(k, block_k, gs)
+        bk = _pick_k_block_int4(k, block_k, gs, srm=srm)
         bn = _shrink_bn_int4(bk, bn, n)
         if bn is None:
             from rama_tpu.ops.quant import matmul_xla
