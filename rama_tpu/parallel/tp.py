@@ -32,7 +32,8 @@ from rama_tpu.config import ModelConfig
 from rama_tpu.models.llama import KVCache, forward
 from rama_tpu.ops.quant import QuantizedEmbedding, QuantizedTensor
 from rama_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
-from rama_tpu.runtime.sampler import sample_batched
+from rama_tpu.runtime.sampler import (fold_in_pos, sample_batched,
+                                      sample_batched_keyed)
 
 # column-sharded: output dim over the model axis (fused weights are laid out
 # per-shard by _concat_weights, so contiguous column shards stay correct)
@@ -181,15 +182,17 @@ def make_decode_step(cfg: ModelConfig, mesh: Mesh, params_example,
     return step
 
 
-def make_decode_tick(cfg: ModelConfig, mesh: Mesh, params_example, n: int,
+def make_decode_tick(cfg: ModelConfig, mesh: Mesh, params_example,
                      kv_quant: bool = False):
     """Build the jitted TP+DP multi-token tick: n sampled decode steps in one
     dispatch (an on-device scan whose body is the shard_mapped step), so the
     serving loop pays one host round-trip per n tokens.
 
-    Returns tick(params, tokens (B,), pos (B,), temps, top_ps, key, cache)
-    -> (tokens (n, B), cache).
-    """
+    Returns tick(params, tokens (B,), pos (B,), temps, top_ps,
+    slot_keys (B, 2), cache, n=) -> (tokens (n, B), cache). `n` is static
+    per jit cache entry — the host loop shrinks it near slot budgets, so
+    TP tail ticks no longer waste full weight streams (each distinct n
+    compiles once; the engine clamps n to powers of two)."""
     pspecs = param_specs(params_example)
     cspec = _cache_spec_for(kv_quant)
 
@@ -204,16 +207,17 @@ def make_decode_tick(cfg: ModelConfig, mesh: Mesh, params_example, n: int,
         out_specs=(P(DATA_AXIS, None), cspec),
         check_vma=False)
 
-    @partial(jax.jit, donate_argnames=("cache",))
-    def tick(params, tokens, pos, temps, top_ps, key, cache):
-        def body(carry, key_j):
+    @partial(jax.jit, static_argnames=("n",), donate_argnames=("cache",))
+    def tick(params, tokens, pos, temps, top_ps, slot_keys, cache, n=1):
+        def body(carry, _):
             tokens, pos, cache = carry
             logits, cache = mapped(params, tokens, pos, cache)
-            nxt = sample_batched(logits, key_j, temps, top_ps)
+            nxt = sample_batched_keyed(logits, fold_in_pos(slot_keys, pos),
+                                       temps, top_ps)
             return (nxt, pos + 1, cache), nxt
 
-        keys = jax.random.split(key, n)
-        (_, _, cache), out = jax.lax.scan(body, (tokens, pos, cache), keys)
+        (_, _, cache), out = jax.lax.scan(body, (tokens, pos, cache), None,
+                                          length=n)
         return out, cache
 
     return tick
@@ -243,14 +247,15 @@ def shard_paged_cache(cache, mesh: Mesh):
 
 
 def make_paged_decode_tick(cfg: ModelConfig, mesh: Mesh, params_example,
-                           n: int, kv_quant: bool = False):
+                           kv_quant: bool = False):
     """TP multi-token tick against the paged pool: n sampled decode steps per
     dispatch, attention reading each chip's KV-head slice of the page pool in
     place (ragged paged kernel on TPU, gather view elsewhere).
 
-    Returns tick(params, tokens (B,), pos (B,), temps, top_ps, key, cache,
-    page_tables (B, max_pages)) -> (tokens (n, B), cache).
-    """
+    Returns tick(params, tokens (B,), pos (B,), temps, top_ps,
+    slot_keys (B, 2), cache, page_tables (B, max_pages), n=)
+    -> (tokens (n, B), cache). `n` is static per jit cache entry (see
+    make_decode_tick)."""
     from rama_tpu.runtime.paged import forward_paged
 
     pspecs = param_specs(params_example)
@@ -268,16 +273,18 @@ def make_paged_decode_tick(cfg: ModelConfig, mesh: Mesh, params_example,
         out_specs=(P(DATA_AXIS, None), cspec),
         check_vma=False)
 
-    @partial(jax.jit, donate_argnames=("cache",))
-    def tick(params, tokens, pos, temps, top_ps, key, cache, tables):
-        def body(carry, key_j):
+    @partial(jax.jit, static_argnames=("n",), donate_argnames=("cache",))
+    def tick(params, tokens, pos, temps, top_ps, slot_keys, cache, tables,
+             n=1):
+        def body(carry, _):
             tokens, pos, cache = carry
             logits, cache = mapped(params, tokens, pos, cache, tables)
-            nxt = sample_batched(logits, key_j, temps, top_ps)
+            nxt = sample_batched_keyed(logits, fold_in_pos(slot_keys, pos),
+                                       temps, top_ps)
             return (nxt, pos + 1, cache), nxt
 
-        keys = jax.random.split(key, n)
-        (_, _, cache), out = jax.lax.scan(body, (tokens, pos, cache), keys)
+        (_, _, cache), out = jax.lax.scan(body, (tokens, pos, cache), None,
+                                          length=n)
         return out, cache
 
     return tick

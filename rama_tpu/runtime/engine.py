@@ -37,7 +37,8 @@ import numpy as np
 from rama_tpu.config import EngineConfig, ModelConfig
 from rama_tpu.models.llama import (KVCache, decode_step, forward,
                                    forward_chunk)
-from rama_tpu.runtime.sampler import sample_batched
+from rama_tpu.runtime.sampler import (fold_in_pos, sample_batched,
+                                      sample_batched_keyed)
 from rama_tpu.tokenizer import BOS_ID, EOS_ID, Tokenizer
 
 
@@ -91,8 +92,8 @@ _OP_TICK, _OP_PREFILL, _OP_RESET, _OP_STOP = 0, 1, 2, 3
 
 
 @partial(jax.jit, static_argnames=("cfg", "n"), donate_argnames=("cache",))
-def _decode_tick(params, cfg: ModelConfig, tokens, pos, temps, top_ps, key,
-                 cache: KVCache, n: int = 1):
+def _decode_tick(params, cfg: ModelConfig, tokens, pos, temps, top_ps,
+                 slot_keys, cache: KVCache, n: int = 1):
     """n sampled decode steps for all slots in ONE device dispatch.
 
     The scan feeds each sampled token back as the next input, so a single
@@ -101,59 +102,66 @@ def _decode_tick(params, cfg: ModelConfig, tokens, pos, temps, top_ps, key,
     tokens are discarded by the host emit loop, and the speculative KV
     writes land at positions the attention mask never reads before they
     are overwritten (decode writes position p before any query attends it).
+
+    Sampling is keyed by (slot key, query position) — fold_in_pos — so a
+    slot's stream is one deterministic sequence regardless of tick size or
+    speculative grouping.
     """
-    def body(carry, key_j):
+    def body(carry, _):
         tokens, pos, cache = carry
         logits, cache = decode_step(params, cfg, tokens, pos, cache)
-        nxt = sample_batched(logits, key_j, temps, top_ps)
+        nxt = sample_batched_keyed(logits, fold_in_pos(slot_keys, pos),
+                                   temps, top_ps)
         return (nxt, pos + 1, cache), nxt
 
-    keys = jax.random.split(key, n)
-    (_, _, cache), out = jax.lax.scan(body, (tokens, pos, cache), keys)
+    (_, _, cache), out = jax.lax.scan(body, (tokens, pos, cache), None,
+                                      length=n)
     return out, cache
 
 
 @partial(jax.jit, static_argnames=("cfg", "n"), donate_argnames=("cache",))
 def _decode_tick_paged(params, cfg: ModelConfig, tokens, pos, temps, top_ps,
-                       key, cache, page_tables, n: int = 1):
+                       slot_keys, cache, page_tables, n: int = 1):
     """Paged multi-token tick; page tables must cover pos+n (reserved by the
     host loop before dispatch)."""
     from rama_tpu.runtime.paged import _decode_step_paged_impl
 
-    def body(carry, key_j):
+    def body(carry, _):
         tokens, pos, cache = carry
         logits, cache = _decode_step_paged_impl(params, cfg, tokens, pos,
                                                 cache, page_tables)
-        nxt = sample_batched(logits, key_j, temps, top_ps)
+        nxt = sample_batched_keyed(logits, fold_in_pos(slot_keys, pos),
+                                   temps, top_ps)
         return (nxt, pos + 1, cache), nxt
 
-    keys = jax.random.split(key, n)
-    (_, _, cache), out = jax.lax.scan(body, (tokens, pos, cache), keys)
+    (_, _, cache), out = jax.lax.scan(body, (tokens, pos, cache), None,
+                                      length=n)
     return out, cache
 
 
 @partial(jax.jit, static_argnames=("cfg", "k"), donate_argnames=("cache",))
-def _spec_tick(params, cfg: ModelConfig, chunk, pos0, temps, top_ps, key,
-               cache: KVCache, k: int):
+def _spec_tick(params, cfg: ModelConfig, chunk, pos0, temps, top_ps,
+               slot_keys, cache: KVCache, k: int):
     """Speculative engine tick: verify k drafted tokens per slot in ONE
     batched chunk forward (one weight stream for up to k+1 emitted tokens
     per slot, vs k+1 streams for the plain scan tick).
 
     chunk (B, k+1) = [current token | k host-drafted tokens]; pos0 (B,) the
     position of the current token. Every chunk position samples from the
-    *target* distribution; drafts are accepted while they equal those
-    samples, so the emitted stream is a valid model sample regardless of
-    draft quality (same sample-then-compare scheme as
-    runtime.speculative). Rejected positions' KV rows hold garbage that is
-    rewritten before any query attends them (write-before-attend).
+    *target* distribution with a key derived only from (slot key, position)
+    — fold_in_pos — so the served stream is IDENTICAL to the plain-tick
+    stream at any temperature (spec_tick is purely a latency knob). Drafts
+    are accepted while they equal those samples (same sample-then-compare
+    scheme as runtime.speculative). Rejected positions' KV rows hold garbage
+    that is rewritten before any query attends them (write-before-attend).
 
     Returns (samples (k+1, B), accept (B,) in [0, k], cache).
     """
     b, t = chunk.shape
     logits, cache = forward_chunk(params, cfg, chunk, pos0, cache)  # (B,T,V)
-    keys = jax.random.split(key, t)
     samples = jnp.stack([
-        sample_batched(logits[:, j], keys[j], temps, top_ps)
+        sample_batched_keyed(logits[:, j], fold_in_pos(slot_keys, pos0 + j),
+                             temps, top_ps)
         for j in range(t)])                                        # (T, B)
     ok = (chunk[:, 1:].T == samples[:k])                           # (k, B)
     accept = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=0), axis=0)
@@ -161,11 +169,14 @@ def _spec_tick(params, cfg: ModelConfig, chunk, pos0, temps, top_ps, key,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _prefill(params, cfg: ModelConfig, tokens_padded, true_len, temp, top_p, key):
+def _prefill(params, cfg: ModelConfig, tokens_padded, true_len, temp, top_p,
+             slot_key):
     """Prefill one prompt (padded to a bucket) in a scratch cache.
 
     Padded positions write to the last scratch row and are never attended by
     real queries; returns (first sampled token, k (L,T,kv,hd), v (L,T,kv,hd)).
+    The first token is sampled from the query at position true_len-1 with
+    key fold_in(slot_key, true_len-1), consistent with the tick keying.
     """
     t_pad = tokens_padded.shape[0]
     scratch = KVCache.create(cfg, batch=1, max_len=t_pad)
@@ -175,7 +186,8 @@ def _prefill(params, cfg: ModelConfig, tokens_padded, true_len, temp, top_p, key
                               scratch,
                               plen=jnp.asarray(true_len, jnp.int32)[None])
     last = logits[0, true_len - 1][None, :]
-    first = sample_batched(last, key, temp[None], top_p[None])[0]
+    keys = fold_in_pos(slot_key[None], (true_len - 1)[None])
+    first = sample_batched_keyed(last, keys, temp[None], top_p[None])[0]
     return first, scratch.k[:, 0], scratch.v[:, 0]
 
 
@@ -258,13 +270,13 @@ class Engine:
             params = tp_mod.shard_params(params, self.mesh)
             if self.paged:
                 self._tp_paged_tick = tp_mod.make_paged_decode_tick(
-                    cfg, self.mesh, params, n=self.ecfg.decode_tick,
+                    cfg, self.mesh, params,
                     kv_quant=self.kv_quant == "int8")
                 self._tp_paged_insert = tp_mod.make_paged_insert(
                     cfg, self.mesh, kv_quant=self.kv_quant == "int8")
             else:
                 self._tp_tick = tp_mod.make_decode_tick(
-                    cfg, self.mesh, params, n=self.ecfg.decode_tick,
+                    cfg, self.mesh, params,
                     kv_quant=self.kv_quant == "int8")
             # prefill always runs against a dense scratch cache (the strip is
             # quantized at _insert time when the main cache is int8)
@@ -297,7 +309,13 @@ class Engine:
         self.slots = [_Slot() for _ in range(b)]
         # bounded admission queue — reference uses bounded(30), main.rs:68
         self.admission: "queue.Queue[Request]" = queue.Queue(maxsize=30)
-        self.key = jax.random.PRNGKey(self.ecfg.seed)
+        # Per-slot stream keys: request r gets fold_in(base, r); every sample
+        # for that request is then keyed by fold_in(slot_key, position), so
+        # its stream is one deterministic sequence however the engine groups
+        # steps into dispatches (tick size, speculation, chaining).
+        self.base_key = np.asarray(jax.random.PRNGKey(self.ecfg.seed))
+        self.slot_keys = np.zeros((b, 2), np.uint32)
+        self.req_counter = 0
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self._wake = threading.Event()
@@ -377,14 +395,14 @@ class Engine:
                 n = a0
                 tmpl = [np.zeros(b, np.int32), np.zeros(b, np.int32),
                         np.zeros(b, np.float32), np.zeros(b, np.float32),
-                        np.zeros(2, np.uint32)]
+                        np.zeros((b, 2), np.uint32)]
                 if self.paged:
                     tmpl.append(np.zeros_like(self.page_tables))
                 got = broadcast_step(tmpl)
-                tokens, pos, temps, tps, key = got[:5]
+                tokens, pos, temps, tps, slot_keys = got[:5]
                 if self.paged:
                     self.page_tables = got[5]
-                self._dev_tick(tokens, pos, temps, tps, jnp.asarray(key), n)
+                self._dev_tick(tokens, pos, temps, tps, slot_keys, n)
             elif op == _OP_PREFILL:
                 t_pad, slot_idx, true_len = a0, a1, a2
                 tmpl = [np.zeros(t_pad, np.int32), np.zeros(2, np.float32),
@@ -396,9 +414,10 @@ class Engine:
                 row = got[3] if self.paged else None
                 if self.paged:
                     self.page_tables[slot_idx] = row
+                self.slot_keys[slot_idx] = key
                 self._dev_prefill_insert(padded, true_len, slot_idx,
                                          float(st[0]), float(st[1]),
-                                         jnp.asarray(key), row)
+                                         key, row)
             else:
                 raise RuntimeError(f"unknown multihost op {op}")
 
@@ -432,7 +451,10 @@ class Engine:
         t_ins = min(t_pad, self.max_len)
         padded = np.zeros(t_pad, np.int32)
         padded[: len(ids)] = ids
-        self.key, sub = jax.random.split(self.key)
+        sub = np.asarray(jax.random.fold_in(self.base_key, self.req_counter),
+                         np.uint32)
+        self.req_counter += 1
+        self.slot_keys[slot_idx] = sub
         row = None
         if self.paged:
             # page bookkeeping happens before the (broadcast) device call so
@@ -487,13 +509,14 @@ class Engine:
         same computation sequence, same global values — holds.
         """
         cfg = self.cfg
+        skey = jnp.asarray(key, jnp.uint32)
         if self.tp > 1:
             first, k_new, v_new = self._prefill_tp(padded, true_len,
-                                                   temperature, top_p, key)
+                                                   temperature, top_p, skey)
         else:
             first, k_new, v_new = _prefill(
                 self.params, cfg, jnp.asarray(padded), jnp.int32(true_len),
-                jnp.float32(temperature), jnp.float32(top_p), key)
+                jnp.float32(temperature), jnp.float32(top_p), skey)
         # pad strip may exceed cache length for long prompts; crop positions
         t_ins = min(padded.shape[0], self.max_len)
         k_new, v_new = k_new[:, :, :t_ins], v_new[:, :, :t_ins]
@@ -512,7 +535,7 @@ class Engine:
                                  jnp.int32(slot_idx))
         return int(first)
 
-    def _prefill_tp(self, padded, true_len, temperature, top_p, key):
+    def _prefill_tp(self, padded, true_len, temperature, top_p, slot_key):
         """Tensor-parallel prefill into a sharded scratch cache.
 
         Padded positions write to the scratch's last row (masked), same
@@ -531,8 +554,10 @@ class Engine:
         logits, scratch = self._tp_prefill(self.params,
                                            jnp.asarray(padded[None, :]), scratch)
         last = logits[0, true_len - 1][None, :]
-        first = sample_batched(last, key, jnp.float32(temperature)[None],
-                               jnp.float32(top_p)[None])[0]
+        keys = fold_in_pos(slot_key[None], jnp.asarray([true_len - 1]))
+        first = sample_batched_keyed(last, keys,
+                                     jnp.float32(temperature)[None],
+                                     jnp.float32(top_p)[None])[0]
         return first, scratch.k[:, 0], scratch.v[:, 0]
 
     def _emit(self, slot: _Slot, token: int):
@@ -627,7 +652,6 @@ class Engine:
             pos[i] = s.pos
             temps[i] = s.request.temperature
             tps[i] = s.request.top_p
-        self.key, sub = jax.random.split(self.key)
         # Speculative tick: drafts verified in one chunk forward. Falls back
         # to the plain scan tick when any slot is within spec_tick+1 of the
         # cache end (chunk positions must stay < max_len).
@@ -642,7 +666,8 @@ class Engine:
             t0 = time.time()
             samples, accept, self.cache = _spec_tick(
                 self.params, cfg, jnp.asarray(chunk), jnp.asarray(pos),
-                jnp.asarray(temps), jnp.asarray(tps), sub, self.cache, k)
+                jnp.asarray(temps), jnp.asarray(tps),
+                jnp.asarray(self.slot_keys), self.cache, k)
             samples, accept = np.asarray(samples), np.asarray(accept)
             self.metrics["decode_ticks"] += 1
             self.metrics["decode_s"] += time.time() - t0
@@ -684,12 +709,12 @@ class Engine:
             from rama_tpu.parallel.distributed import broadcast_step
 
             broadcast_step([np.asarray([_OP_TICK, n, 0, 0], np.int64)])
-            payload = [tokens, pos, temps, tps, np.asarray(sub)]
+            payload = [tokens, pos, temps, tps, self.slot_keys.copy()]
             if self.paged:
                 payload.append(self.page_tables.copy())
             broadcast_step(payload)
         t0 = time.time()
-        nxt = self._dev_tick(tokens, pos, temps, tps, sub, n)  # (n, B)
+        nxt = self._dev_tick(tokens, pos, temps, tps, self.slot_keys, n)
         self.metrics["decode_ticks"] += 1
         self.metrics["decode_s"] += time.time() - t0
         self._emit_tick(nxt)
@@ -718,29 +743,30 @@ class Engine:
             out = np.concatenate([out, np.full(k - len(out), last, np.int32)])
         return out.astype(np.int32)
 
-    def _dev_tick(self, tokens, pos, temps, tps, key, n: int) -> np.ndarray:
+    def _dev_tick(self, tokens, pos, temps, tps, slot_keys, n: int) -> np.ndarray:
         """The device-side decode tick, executed identically on every host
         (the follower replays it from the broadcast payload)."""
         cfg = self.cfg
+        keys = jnp.asarray(slot_keys, jnp.uint32)
         if self.paged:
             if self.tp > 1:
                 nxt, self.cache = self._tp_paged_tick(
                     self.params, jnp.asarray(tokens), jnp.asarray(pos),
-                    jnp.asarray(temps), jnp.asarray(tps), key, self.cache,
-                    jnp.asarray(self.page_tables))
+                    jnp.asarray(temps), jnp.asarray(tps), keys, self.cache,
+                    jnp.asarray(self.page_tables), n=n)
             else:
                 nxt, self.cache = _decode_tick_paged(
                     self.params, cfg, jnp.asarray(tokens), jnp.asarray(pos),
-                    jnp.asarray(temps), jnp.asarray(tps), key, self.cache,
+                    jnp.asarray(temps), jnp.asarray(tps), keys, self.cache,
                     jnp.asarray(self.page_tables), n)
         elif self.tp > 1:
             nxt, self.cache = self._tp_tick(
                 self.params, jnp.asarray(tokens), jnp.asarray(pos),
-                jnp.asarray(temps), jnp.asarray(tps), key, self.cache)
+                jnp.asarray(temps), jnp.asarray(tps), keys, self.cache, n=n)
         else:
             nxt, self.cache = _decode_tick(
                 self.params, cfg, jnp.asarray(tokens), jnp.asarray(pos),
-                jnp.asarray(temps), jnp.asarray(tps), key, self.cache, n)
+                jnp.asarray(temps), jnp.asarray(tps), keys, self.cache, n)
         return np.asarray(nxt)
 
     def _emit_tick(self, nxt: np.ndarray):

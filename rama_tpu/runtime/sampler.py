@@ -27,9 +27,11 @@ def sample_greedy(logits: jax.Array) -> jax.Array:
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
-def sample_top_p(logits: jax.Array, key: jax.Array, temperature: float | jax.Array,
-                 top_p: float | jax.Array) -> jax.Array:
-    """Nucleus sampling over (B, V) logits -> (B,) int32 token ids."""
+def _top_p_from_u(logits: jax.Array, u: jax.Array,
+                  temperature: float | jax.Array,
+                  top_p: float | jax.Array) -> jax.Array:
+    """Nucleus sampling over (B, V) logits with a pre-drawn uniform u (B,)
+    in [0, 1) per row -> (B,) int32 token ids."""
     b, v = logits.shape
     logits = logits.astype(jnp.float32)
     # scalar or per-slot (B,) hyperparameters both broadcast as (B, 1)
@@ -53,13 +55,21 @@ def sample_top_p(logits: jax.Array, key: jax.Array, temperature: float | jax.Arr
     last_index = jnp.where(jnp.any(over, axis=-1), first_over, n_kept - 1)  # (B,)
 
     cum_prob = jnp.take_along_axis(csum, last_index[:, None], axis=-1)[:, 0]
-    r = jax.random.uniform(key, (b,)) * cum_prob
+    r = u * cum_prob
 
     idx_range = jnp.arange(v)[None, :]
     candidate = (r[:, None] < csum) & (idx_range <= last_index[:, None]) & keep
     pick = jnp.where(jnp.any(candidate, axis=-1),
                      jnp.argmax(candidate, axis=-1), last_index)
     return jnp.take_along_axis(si, pick[:, None], axis=-1)[:, 0].astype(jnp.int32)
+
+
+def sample_top_p(logits: jax.Array, key: jax.Array, temperature: float | jax.Array,
+                 top_p: float | jax.Array) -> jax.Array:
+    """Nucleus sampling over (B, V) logits -> (B,) int32 token ids."""
+    b = logits.shape[0]
+    return _top_p_from_u(logits, jax.random.uniform(key, (b,)),
+                         temperature, top_p)
 
 
 def sample(logits: jax.Array, key: jax.Array, temperature: float,
@@ -79,4 +89,26 @@ def sample_batched(logits: jax.Array, key: jax.Array, temperature: jax.Array,
     greedily, the rest nucleus-sample — all inside one traced program.
     """
     nucleus = sample_top_p(logits, key, temperature, top_p)
+    return jnp.where(temperature == 0.0, sample_greedy(logits), nucleus)
+
+
+def fold_in_pos(slot_keys: jax.Array, pos: jax.Array) -> jax.Array:
+    """Per-slot, per-position PRNG keys: slot_keys (B, 2) uint32 raw keys +
+    pos (B,) int32 -> (B, 2) keys.
+
+    The sampling key for (slot, position) is a pure function of the slot's
+    stream key and the query position, so a slot's sampled stream is
+    invariant to how steps are grouped into device dispatches (plain scan
+    tick, speculative chunk, chained tick) — the same contract
+    runtime.speculative._sample_positions established for the library path.
+    """
+    return jax.vmap(jax.random.fold_in)(slot_keys, pos)
+
+
+def sample_batched_keyed(logits: jax.Array, keys: jax.Array,
+                         temperature: jax.Array, top_p: jax.Array) -> jax.Array:
+    """sample_batched with PER-SLOT keys (B, 2) uint32: each row draws its
+    uniform from its own key (see fold_in_pos)."""
+    u = jax.vmap(lambda k: jax.random.uniform(k, ()))(keys)
+    nucleus = _top_p_from_u(logits, u, temperature, top_p)
     return jnp.where(temperature == 0.0, sample_greedy(logits), nucleus)

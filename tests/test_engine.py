@@ -251,3 +251,28 @@ def test_spec_tick_with_kv_quant_matches_plain(engine_setup):
         finally:
             eng.stop()
     assert outs[0] == outs[1]
+
+
+def test_sampled_stream_invariant_to_tick_shape(engine_setup):
+    """Position-keyed sampling (fold_in(slot_key, pos)): the served stream at
+    temperature 0.9 is IDENTICAL across decode_tick sizes and with spec_tick
+    on/off — tick grouping and speculation are latency knobs, never output
+    knobs (VERDICT r2 #8)."""
+    cfg, np_params, params, tok, _ = engine_setup
+    outs = []
+    for ecfg in (EngineConfig(max_batch_size=4, decode_tick=1),
+                 EngineConfig(max_batch_size=4, decode_tick=8),
+                 EngineConfig(max_batch_size=4, spec_tick=3)):
+        eng = Engine(cfg, params, tok, ecfg)
+        eng.start()
+        try:
+            reqs = [Request(prompt=p, steps=s, temperature=t)
+                    for p, s, t in (("abab", 12, 0.9), ("zq", 7, 0.0),
+                                    ("hello", 10, 0.9))]
+            for r in reqs:
+                eng.submit(r)
+            outs.append([collect(r) for r in reqs])
+        finally:
+            eng.stop()
+    assert outs[0] == outs[1]
+    assert outs[0] == outs[2]
