@@ -223,6 +223,49 @@ def make_decode_tick(cfg: ModelConfig, mesh: Mesh, params_example,
     return tick
 
 
+def make_spec_tick(cfg: ModelConfig, mesh: Mesh, params_example,
+                   kv_quant: bool = False):
+    """TP+DP speculative tick: verify k host-drafted tokens per slot in ONE
+    shard_mapped chunk forward (the TP counterpart of
+    runtime.engine._spec_tick — same sample-then-compare acceptance, same
+    position-keyed sampling, so spec_tick stays a pure latency knob under
+    tensor parallelism).
+
+    Returns spec(params, chunk (B, k+1), pos0 (B,), temps, top_ps,
+    slot_keys (B, 2), cache) -> (samples (k+1, B), accept (B,), cache).
+    k is static per chunk shape.
+    """
+    from rama_tpu.models.llama import forward_chunk
+
+    pspecs = param_specs(params_example)
+    cspec = _cache_spec_for(kv_quant)
+
+    def inner(params, chunk, pos0, cache):
+        return forward_chunk(params, cfg, chunk, pos0, cache,
+                             tp_axis=MODEL_AXIS)
+
+    mapped = jax.shard_map(
+        inner, mesh=mesh,
+        in_specs=(pspecs, P(DATA_AXIS, None), P(DATA_AXIS), cspec),
+        out_specs=(P(DATA_AXIS, None, None), cspec),
+        check_vma=False)
+
+    @partial(jax.jit, donate_argnames=("cache",))
+    def spec(params, chunk, pos0, temps, top_ps, slot_keys, cache):
+        t = chunk.shape[1]
+        logits, cache = mapped(params, chunk, pos0, cache)   # (B, T, V)
+        samples = jnp.stack([
+            sample_batched_keyed(logits[:, j],
+                                 fold_in_pos(slot_keys, pos0 + j),
+                                 temps, top_ps)
+            for j in range(t)])                              # (T, B)
+        ok = (chunk[:, 1:].T == samples[: t - 1])            # (k, B)
+        accept = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=0), axis=0)
+        return samples, accept, cache
+
+    return spec
+
+
 def paged_cache_spec(kv_quant: bool = False):
     """Page pool (L, P, n_kv, ps, hd): KV heads shard over `model`, the page
     dimension is shared (one pool, every chip holds its head-slice of every

@@ -88,7 +88,7 @@ def _bucket(n: int, lo: int = 16) -> int:
 # Multi-host control ops, broadcast host-0 -> followers before each device
 # call (parallel.distributed.broadcast_step). Header: int64[4]
 # [op, arg0, arg1, arg2].
-_OP_TICK, _OP_PREFILL, _OP_RESET, _OP_STOP = 0, 1, 2, 3
+_OP_TICK, _OP_PREFILL, _OP_RESET, _OP_STOP, _OP_SPEC = 0, 1, 2, 3, 4
 
 
 @partial(jax.jit, static_argnames=("cfg", "n"), donate_argnames=("cache",))
@@ -237,8 +237,9 @@ class Engine:
         if self.kv_quant not in (None, "int8"):
             raise ValueError(f"unsupported kv_quant {self.kv_quant!r}")
         self.spec = self.ecfg.spec_tick
-        if self.spec and (self.paged or self.tp > 1):
-            raise ValueError("spec_tick requires dense slots and tp_size=1")
+        if self.spec and self.paged:
+            # the ragged paged kernels have no chunk (T<=8) variant yet
+            raise ValueError("spec_tick requires dense slots")
         if self.tp > 1:
             from rama_tpu.parallel.tp import validate_tp
 
@@ -246,8 +247,6 @@ class Engine:
         # Multi-host: host 0 fronts scheduling/IO; every other process runs
         # follow(), replaying the broadcast device-call sequence in lockstep.
         self.multihost = jax.process_count() > 1
-        if self.multihost and self.spec:
-            raise ValueError("spec_tick is single-host only")
         if self.multihost and self.tp <= 1:
             raise ValueError("multi-host serving requires tp_size > 1 "
                              "(a global mesh to shard over)")
@@ -278,6 +277,10 @@ class Engine:
                 self._tp_tick = tp_mod.make_decode_tick(
                     cfg, self.mesh, params,
                     kv_quant=self.kv_quant == "int8")
+                if self.spec:
+                    self._tp_spec = tp_mod.make_spec_tick(
+                        cfg, self.mesh, params,
+                        kv_quant=self.kv_quant == "int8")
             # prefill always runs against a dense scratch cache (the strip is
             # quantized at _insert time when the main cache is int8)
             self._tp_prefill = tp_mod.make_prefill(cfg, self.mesh, params)
@@ -418,6 +421,14 @@ class Engine:
                 self._dev_prefill_insert(padded, true_len, slot_idx,
                                          float(st[0]), float(st[1]),
                                          key, row)
+            elif op == _OP_SPEC:
+                k = a0
+                got = broadcast_step([
+                    np.zeros((b, k + 1), np.int32), np.zeros(b, np.int32),
+                    np.zeros(b, np.float32), np.zeros(b, np.float32),
+                    np.zeros((b, 2), np.uint32)])
+                chunk, pos, temps, tps, slot_keys = got
+                self._dev_spec(chunk, pos, temps, tps, slot_keys, k)
             else:
                 raise RuntimeError(f"unknown multihost op {op}")
 
@@ -663,12 +674,15 @@ class Engine:
                 if not s.free:
                     drafts[i] = self._draft(s, k)
             chunk = np.concatenate([tokens[:, None], drafts], axis=1)
+            if self.multihost:
+                from rama_tpu.parallel.distributed import broadcast_step
+
+                broadcast_step([np.asarray([_OP_SPEC, k, 0, 0], np.int64)])
+                broadcast_step([chunk, pos, temps, tps,
+                                self.slot_keys.copy()])
             t0 = time.time()
-            samples, accept, self.cache = _spec_tick(
-                self.params, cfg, jnp.asarray(chunk), jnp.asarray(pos),
-                jnp.asarray(temps), jnp.asarray(tps),
-                jnp.asarray(self.slot_keys), self.cache, k)
-            samples, accept = np.asarray(samples), np.asarray(accept)
+            samples, accept = self._dev_spec(chunk, pos, temps, tps,
+                                             self.slot_keys, k)
             self.metrics["decode_ticks"] += 1
             self.metrics["decode_s"] += time.time() - t0
             self.metrics["spec_drafted"] += k * len(active)
@@ -742,6 +756,20 @@ class Engine:
         if len(out) < k:
             out = np.concatenate([out, np.full(k - len(out), last, np.int32)])
         return out.astype(np.int32)
+
+    def _dev_spec(self, chunk, pos, temps, tps, slot_keys, k: int):
+        """The device-side speculative tick (chunk verification), executed
+        identically on every host."""
+        keys = jnp.asarray(slot_keys, jnp.uint32)
+        if self.tp > 1:
+            samples, accept, self.cache = self._tp_spec(
+                self.params, jnp.asarray(chunk), jnp.asarray(pos),
+                jnp.asarray(temps), jnp.asarray(tps), keys, self.cache)
+        else:
+            samples, accept, self.cache = _spec_tick(
+                self.params, self.cfg, jnp.asarray(chunk), jnp.asarray(pos),
+                jnp.asarray(temps), jnp.asarray(tps), keys, self.cache, k)
+        return np.asarray(samples), np.asarray(accept)
 
     def _dev_tick(self, tokens, pos, temps, tps, slot_keys, n: int) -> np.ndarray:
         """The device-side decode tick, executed identically on every host

@@ -228,6 +228,7 @@ def test_spec_tick_matches_oracle(engine_setup):
 
 
 def test_spec_tick_rejects_bad_combos(engine_setup):
+    # paged chunk attention does not exist yet; tp>1 composes (test_tp)
     cfg, np_params, params, tok, ecfg = engine_setup
     with pytest.raises(ValueError):
         Engine(cfg, params, tok, EngineConfig(spec_tick=2, paged_kv=True))

@@ -173,3 +173,41 @@ def test_engine_tp_with_int8_kv_cache(setup):
         finally:
             eng.stop()
     assert outs[1] == outs[2]
+
+
+def test_engine_spec_tick_composes_with_tp(setup):
+    """Speculative serving under tensor parallelism: the tp=2 spec_tick
+    engine emits exactly the tp=1 non-speculative stream (shard_mapped chunk
+    verification + position-keyed sampling), at temperature 0 and 0.9."""
+    from rama_tpu.config import EngineConfig
+    from rama_tpu.runtime.engine import Engine, Request
+    from tests.test_engine import collect, make_tokenizer
+
+    cfg, np_params, params = setup
+    tok = make_tokenizer(cfg.vocab_size)
+
+    outs = {}
+    for label, ecfg in (("plain", EngineConfig(max_batch_size=2)),
+                        ("spec_tp", EngineConfig(max_batch_size=2, tp_size=2,
+                                                 spec_tick=3))):
+        eng = Engine(cfg, params, tok, ecfg)
+        eng.start()
+        try:
+            reqs = [Request(prompt="abab", steps=8, temperature=0.0),
+                    Request(prompt="zq", steps=6, temperature=0.9)]
+            for r in reqs:
+                eng.submit(r)
+            outs[label] = [collect(r) for r in reqs]
+        finally:
+            eng.stop()
+    assert outs["plain"] == outs["spec_tp"]
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(max_batch_size=2, tp_size=2, spec_tick=3))
+    eng.start()
+    try:
+        r = Request(prompt="abab", steps=8, temperature=0.0)
+        eng.submit(r)
+        collect(r)
+        assert eng.stats()["spec_accept_rate"] is not None
+    finally:
+        eng.stop()
