@@ -103,6 +103,9 @@ class EngineConfig:
     # 0 = off (plain decode_tick scan). Dense slots, single host, tp=1.
     spec_tick: int = 0
 
-    # Parallelism knobs.
+    # Parallelism knobs: the engine builds a (dp_size, tp_size) device mesh.
+    # tp shards weights and KV heads over `model` (Megatron layout); dp
+    # shards the slot batch over `data` (dp_size must divide max_batch_size;
+    # dense slots only — the paged pool is not data-sharded yet).
     tp_size: int = 1
     dp_size: int = 1

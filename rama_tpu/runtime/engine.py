@@ -233,6 +233,18 @@ class Engine:
         self.max_len = min(self.ecfg.max_seq_len or cfg.seq_len, cfg.seq_len)
         self.paged = self.ecfg.paged_kv
         self.tp = self.ecfg.tp_size
+        self.dp = self.ecfg.dp_size
+        # any non-trivial mesh routes through the shard_mapped builders;
+        # dp shards the slot batch over `data`, tp shards weights/KV heads
+        # over `model`
+        self.use_mesh = self.tp > 1 or self.dp > 1
+        if self.dp > 1 and b % self.dp:
+            raise ValueError(f"dp_size {self.dp} does not divide "
+                             f"max_batch_size {b}")
+        if self.dp > 1 and self.ecfg.paged_kv:
+            # the page pool is one global array replicated across `data`;
+            # per-replica pools (page dim sharded over data) are future work
+            raise ValueError("paged_kv does not compose with dp_size > 1 yet")
         self.kv_quant = self.ecfg.kv_quant
         if self.kv_quant not in (None, "int8"):
             raise ValueError(f"unsupported kv_quant {self.kv_quant!r}")
@@ -247,9 +259,9 @@ class Engine:
         # Multi-host: host 0 fronts scheduling/IO; every other process runs
         # follow(), replaying the broadcast device-call sequence in lockstep.
         self.multihost = jax.process_count() > 1
-        if self.multihost and self.tp <= 1:
-            raise ValueError("multi-host serving requires tp_size > 1 "
-                             "(a global mesh to shard over)")
+        if self.multihost and not self.use_mesh:
+            raise ValueError("multi-host serving requires tp_size > 1 or "
+                             "dp_size > 1 (a global mesh to shard over)")
         if "wqkv" in params:
             if self.tp > 1:
                 # fused column layout is tp-specific; a tp=1 fusion sharded
@@ -260,12 +272,12 @@ class Engine:
             from rama_tpu.models.llama import fuse_params
 
             params = fuse_params(params, cfg, tp_size=self.tp)
-        if self.tp > 1:
+        if self.use_mesh:
             from rama_tpu.parallel.mesh import make_mesh
             from rama_tpu.parallel import tp as tp_mod
 
-            self.mesh = make_mesh(tp_size=self.tp, dp_size=1,
-                                  devices=jax.devices()[: self.tp])
+            self.mesh = make_mesh(tp_size=self.tp, dp_size=self.dp,
+                                  devices=jax.devices()[: self.tp * self.dp])
             params = tp_mod.shard_params(params, self.mesh)
             if self.paged:
                 self._tp_paged_tick = tp_mod.make_paged_decode_tick(
@@ -297,7 +309,7 @@ class Engine:
             self.trash_page = num_pages
             self.allocator = PageAllocator(num_pages, ps, b)
             self.cache = self._create_paged_cache(num_pages + 1, ps)
-            if self.tp > 1:
+            if self.use_mesh:
                 from rama_tpu.parallel.tp import shard_paged_cache
 
                 self.cache = shard_paged_cache(self.cache, self.mesh)
@@ -305,7 +317,7 @@ class Engine:
                                        self.trash_page, np.int32)
         else:
             self.cache = self._create_slot_cache(b)
-            if self.tp > 1:
+            if self.use_mesh:
                 from rama_tpu.parallel.tp import shard_cache
 
                 self.cache = shard_cache(self.cache, self.mesh)
@@ -521,7 +533,7 @@ class Engine:
         """
         cfg = self.cfg
         skey = jnp.asarray(key, jnp.uint32)
-        if self.tp > 1:
+        if self.use_mesh:
             first, k_new, v_new = self._prefill_tp(padded, true_len,
                                                    temperature, top_p, skey)
         else:
@@ -535,7 +547,7 @@ class Engine:
             from rama_tpu.runtime.paged import insert_prefill_paged
 
             rowj = jnp.asarray(row)
-            if self.tp > 1:
+            if self.use_mesh:
                 self.cache = self._tp_paged_insert(self.cache, k_new, v_new,
                                                    rowj)
             else:
@@ -547,23 +559,27 @@ class Engine:
         return int(first)
 
     def _prefill_tp(self, padded, true_len, temperature, top_p, slot_key):
-        """Tensor-parallel prefill into a sharded scratch cache.
+        """Mesh (TP and/or DP) prefill into a sharded scratch cache.
 
         Padded positions write to the scratch's last row (masked), same
         scheme as _prefill; the returned strip is the local-then-global
         sharded (L, kv, T, hd) K/V for insertion into the main cache.
+        Under dp > 1 the single prompt is tiled to dp identical rows so the
+        batch shards evenly; every replica computes the same row and row 0
+        is used.
         """
         from rama_tpu.parallel.tp import shard_cache
 
         t_pad = padded.shape[0]
+        rows = max(1, self.dp)
         scratch = shard_cache(
-            KVCache.create(self.cfg, batch=1, max_len=t_pad), self.mesh)
+            KVCache.create(self.cfg, batch=rows, max_len=t_pad), self.mesh)
         # Padding tokens write garbage K/V at positions >= true_len of the
         # scratch — safe: prefill queries only attend s <= their own position
         # (< true_len), and decode overwrites each position before its first
         # read (same argument as _prefill's padded-row scheme).
-        logits, scratch = self._tp_prefill(self.params,
-                                           jnp.asarray(padded[None, :]), scratch)
+        tokens = jnp.tile(jnp.asarray(padded)[None, :], (rows, 1))
+        logits, scratch = self._tp_prefill(self.params, tokens, scratch)
         last = logits[0, true_len - 1][None, :]
         keys = fold_in_pos(slot_key[None], jnp.asarray([true_len - 1]))
         first = sample_batched_keyed(last, keys,
@@ -627,7 +643,7 @@ class Engine:
         if self.paged:
             ps = self.ecfg.kv_page_size
             self.cache = self._create_paged_cache(self.trash_page + 1, ps)
-            if self.tp > 1:
+            if self.use_mesh:
                 from rama_tpu.parallel.tp import shard_paged_cache
 
                 self.cache = shard_paged_cache(self.cache, self.mesh)
@@ -637,7 +653,7 @@ class Engine:
             self.allocator = PageAllocator(self.trash_page, ps, len(self.slots))
         else:
             self.cache = self._create_slot_cache(len(self.slots))
-            if self.tp > 1:
+            if self.use_mesh:
                 from rama_tpu.parallel.tp import shard_cache
 
                 self.cache = shard_cache(self.cache, self.mesh)
@@ -761,7 +777,7 @@ class Engine:
         """The device-side speculative tick (chunk verification), executed
         identically on every host."""
         keys = jnp.asarray(slot_keys, jnp.uint32)
-        if self.tp > 1:
+        if self.use_mesh:
             samples, accept, self.cache = self._tp_spec(
                 self.params, jnp.asarray(chunk), jnp.asarray(pos),
                 jnp.asarray(temps), jnp.asarray(tps), keys, self.cache)
@@ -777,7 +793,7 @@ class Engine:
         cfg = self.cfg
         keys = jnp.asarray(slot_keys, jnp.uint32)
         if self.paged:
-            if self.tp > 1:
+            if self.use_mesh:
                 nxt, self.cache = self._tp_paged_tick(
                     self.params, jnp.asarray(tokens), jnp.asarray(pos),
                     jnp.asarray(temps), jnp.asarray(tps), keys, self.cache,
@@ -787,7 +803,7 @@ class Engine:
                     self.params, cfg, jnp.asarray(tokens), jnp.asarray(pos),
                     jnp.asarray(temps), jnp.asarray(tps), keys, self.cache,
                     jnp.asarray(self.page_tables), n)
-        elif self.tp > 1:
+        elif self.use_mesh:
             nxt, self.cache = self._tp_tick(
                 self.params, jnp.asarray(tokens), jnp.asarray(pos),
                 jnp.asarray(temps), jnp.asarray(tps), keys, self.cache, n=n)

@@ -142,7 +142,7 @@ def build_app(engine: Engine, default_steps: int = 255) -> web.Application:
 def load_engine(model_path: str, tokenizer_path: str, quant: str = "auto",
                 dtype: str = "bfloat16", batch: int = 8,
                 max_seq_len: int | None = None, paged: bool = False,
-                page_size: int = 128, tp: int = 1,
+                page_size: int = 128, tp: int = 1, dp: int = 1,
                 kv_quant: str | None = None, spec_tick: int = 0) -> Engine:
     import jax.numpy as jnp
 
@@ -168,7 +168,7 @@ def load_engine(model_path: str, tokenizer_path: str, quant: str = "auto",
     ecfg = EngineConfig(model_path=model_path, tokenizer_path=tokenizer_path,
                         max_batch_size=batch, max_seq_len=max_seq_len,
                         paged_kv=paged, kv_page_size=page_size, tp_size=tp,
-                        kv_quant=kv_quant, spec_tick=spec_tick)
+                        dp_size=dp, kv_quant=kv_quant, spec_tick=spec_tick)
     return Engine(cfg, params, tokenizer, ecfg)
 
 
@@ -187,13 +187,16 @@ def main(argv=None):
     ap.add_argument("--page-size", type=int, default=128)
     ap.add_argument("--kv-quant", default=None, choices=["int8"],
                     help="int8 KV cache (halves cache HBM traffic, doubles "
-                         "slot capacity); dense slots + tp=1 only")
+                         "slot capacity); composes with paged/tp/dp")
     ap.add_argument("--spec-tick", type=int, default=0,
                     help="speculative serving: n-gram drafts per tick "
                          "verified in one chunk forward (0 = off)")
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel degree (weights + KV heads sharded "
-                         "over the first tp devices)")
+                         "over the `model` mesh axis)")
+    ap.add_argument("--dp", type=int, default=1,
+                    help="data-parallel degree (slot batch sharded over the "
+                         "`data` mesh axis; must divide --batch)")
     ap.add_argument("--platform", default="auto", choices=["auto", "cpu", "tpu"])
     ap.add_argument("--coordinator", default=None,
                     help="multi-host: coordinator address (host0:port); every "
@@ -212,7 +215,7 @@ def main(argv=None):
     init_distributed(args.coordinator, args.num_hosts, args.host_id)
     engine = load_engine(args.model, args.tokenizer, args.quant, args.dtype,
                          args.batch, paged=args.paged, page_size=args.page_size,
-                         tp=args.tp, kv_quant=args.kv_quant,
+                         tp=args.tp, dp=args.dp, kv_quant=args.kv_quant,
                          spec_tick=args.spec_tick)
     if not is_primary():
         # follower host: no HTTP frontend; replay the primary's device calls

@@ -211,3 +211,46 @@ def test_engine_spec_tick_composes_with_tp(setup):
         assert eng.stats()["spec_accept_rate"] is not None
     finally:
         eng.stop()
+
+
+def test_engine_data_parallel_matches_single(setup):
+    """EngineConfig.dp_size shards the slot batch over `data`: the dp=2 and
+    dp=2 x tp=2 engines emit exactly the single-device streams."""
+    from rama_tpu.config import EngineConfig
+    from rama_tpu.runtime.engine import Engine, Request
+    from tests.test_engine import collect, make_tokenizer
+
+    cfg, np_params, params = setup
+    tok = make_tokenizer(cfg.vocab_size)
+
+    outs = {}
+    for label, ecfg in (
+            ("single", EngineConfig(max_batch_size=4)),
+            ("dp2", EngineConfig(max_batch_size=4, dp_size=2)),
+            ("dp2tp2", EngineConfig(max_batch_size=4, dp_size=2, tp_size=2))):
+        eng = Engine(cfg, params, tok, ecfg)
+        eng.start()
+        try:
+            reqs = [Request(prompt=p, steps=6, temperature=t)
+                    for p, t in (("abc", 0.0), ("zq", 0.9), ("abab", 0.0))]
+            for r in reqs:
+                eng.submit(r)
+            outs[label] = [collect(r) for r in reqs]
+        finally:
+            eng.stop()
+    assert outs["single"] == outs["dp2"]
+    assert outs["single"] == outs["dp2tp2"]
+
+
+def test_engine_dp_rejects_bad_combos(setup):
+    from rama_tpu.config import EngineConfig
+    from rama_tpu.runtime.engine import Engine
+    from tests.test_engine import make_tokenizer
+
+    cfg, np_params, params = setup
+    tok = make_tokenizer(cfg.vocab_size)
+    with pytest.raises(ValueError):
+        Engine(cfg, params, tok, EngineConfig(max_batch_size=3, dp_size=2))
+    with pytest.raises(ValueError):
+        Engine(cfg, params, tok,
+               EngineConfig(max_batch_size=4, dp_size=2, paged_kv=True))
