@@ -85,6 +85,12 @@ def _bucket(n: int, lo: int = 16) -> int:
     return b
 
 
+def _bucket_k(n: int, dp: int = 1) -> int:
+    """Prefill batch bucket: dp * 2^j >= n, so every padded admission batch
+    both bounds the compile count and divides the data-parallel axis."""
+    return _bucket(n, lo=max(dp, 1))
+
+
 # Multi-host control ops, broadcast host-0 -> followers before each device
 # call (parallel.distributed.broadcast_step). Header: int64[4]
 # [op, arg0, arg1, arg2].
@@ -169,49 +175,53 @@ def _spec_tick(params, cfg: ModelConfig, chunk, pos0, temps, top_ps,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _prefill(params, cfg: ModelConfig, tokens_padded, true_len, temp, top_p,
-             slot_key):
-    """Prefill one prompt (padded to a bucket) in a scratch cache.
+def _prefill_batch(params, cfg: ModelConfig, tokens, true_lens, temps, top_ps,
+                   slot_keys):
+    """Prefill k prompts (padded to one (k, T) bucket) in ONE dispatch.
 
-    Padded positions write to the last scratch row and are never attended by
-    real queries; returns (first sampled token, k (L,T,kv,hd), v (L,T,kv,hd)).
-    The first token is sampled from the query at position true_len-1 with
-    key fold_in(slot_key, true_len-1), consistent with the tick keying.
+    A burst of admissions costs one batched weight stream instead of k
+    sequential ones (VERDICT r2 #2: serial prefill admission stalled decode
+    and dominated TTFT under load). Per-row padded positions write to the
+    last scratch row and are never attended by real queries. Returns
+    (first tokens (k,), k strips (L,k,kv,T,hd), v strips). Row j's first
+    token is sampled from the query at position true_lens[j]-1 with key
+    fold_in(slot_keys[j], true_lens[j]-1), consistent with the tick keying.
     """
-    t_pad = tokens_padded.shape[0]
-    scratch = KVCache.create(cfg, batch=1, max_len=t_pad)
-    idx = jnp.arange(t_pad)
-    pos_index = jnp.where(idx < true_len, idx, t_pad - 1)[None, :]
-    logits, scratch = forward(params, cfg, tokens_padded[None, :], pos_index,
-                              scratch,
-                              plen=jnp.asarray(true_len, jnp.int32)[None])
-    last = logits[0, true_len - 1][None, :]
-    keys = fold_in_pos(slot_key[None], (true_len - 1)[None])
-    first = sample_batched_keyed(last, keys, temp[None], top_p[None])[0]
-    return first, scratch.k[:, 0], scratch.v[:, 0]
+    k, t_pad = tokens.shape
+    scratch = KVCache.create(cfg, batch=k, max_len=t_pad)
+    idx = jnp.arange(t_pad)[None, :]
+    pos_index = jnp.where(idx < true_lens[:, None], idx, t_pad - 1)
+    logits, scratch = forward(params, cfg, tokens, pos_index, scratch,
+                              plen=true_lens)
+    last = jnp.take_along_axis(
+        logits, (true_lens - 1)[:, None, None], axis=1)[:, 0]       # (k, V)
+    keys = fold_in_pos(slot_keys, true_lens - 1)
+    firsts = sample_batched_keyed(last, keys, temps, top_ps)
+    return firsts, scratch.k, scratch.v
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
-def _insert(cfg: ModelConfig, cache, k_new, v_new, slot):
-    """Copy a prefilled (L, kv, T, hd) K/V strip into slot `slot` at pos 0.
+@partial(jax.jit, donate_argnames=("cache",))
+def _insert_batch(cache, k_new, v_new, slots):
+    """Scatter k prefilled (L, k, kv, T, hd) K/V strips into their slots at
+    pos 0 in one dispatch. Duplicate slot entries (batch padding) carry
+    identical strips, so scatter order is immaterial.
 
     With an int8 cache (QuantKVCache) the bf16 prefill strips are quantized
     row-wise on insert — prefill always runs in a dense bf16 scratch."""
     from rama_tpu.models.llama import QuantKVCache, kv_quant_rows
 
+    t = k_new.shape[3]
     if isinstance(cache, QuantKVCache):
         kq, ks = kv_quant_rows(k_new)
         vq, vs = kv_quant_rows(v_new)
-        k = jax.lax.dynamic_update_slice(cache.k, kq[:, None], (0, slot, 0, 0, 0))
-        v = jax.lax.dynamic_update_slice(cache.v, vq[:, None], (0, slot, 0, 0, 0))
-        kss = jax.lax.dynamic_update_slice(cache.ks, ks[:, None], (0, slot, 0, 0))
-        vss = jax.lax.dynamic_update_slice(cache.vs, vs[:, None], (0, slot, 0, 0))
-        return QuantKVCache(k=k, v=v, ks=kss, vs=vss)
-    k = jax.lax.dynamic_update_slice(cache.k, k_new[:, None].astype(cache.k.dtype),
-                                     (0, slot, 0, 0, 0))
-    v = jax.lax.dynamic_update_slice(cache.v, v_new[:, None].astype(cache.v.dtype),
-                                     (0, slot, 0, 0, 0))
-    return KVCache(k=k, v=v)
+        return QuantKVCache(
+            k=cache.k.at[:, slots, :, :t].set(kq),
+            v=cache.v.at[:, slots, :, :t].set(vq),
+            ks=cache.ks.at[:, slots, :, :t].set(ks),
+            vs=cache.vs.at[:, slots, :, :t].set(vs))
+    return KVCache(
+        k=cache.k.at[:, slots, :, :t].set(k_new.astype(cache.k.dtype)),
+        v=cache.v.at[:, slots, :, :t].set(v_new.astype(cache.v.dtype)))
 
 
 class Engine:
@@ -419,20 +429,24 @@ class Engine:
                     self.page_tables = got[5]
                 self._dev_tick(tokens, pos, temps, tps, slot_keys, n)
             elif op == _OP_PREFILL:
-                t_pad, slot_idx, true_len = a0, a1, a2
-                tmpl = [np.zeros(t_pad, np.int32), np.zeros(2, np.float32),
-                        np.zeros(2, np.uint32)]
+                k_pad, t_pad, n_real = a0, a1, a2
+                tmpl = [np.zeros((k_pad, t_pad), np.int32),
+                        np.zeros(k_pad, np.int32), np.zeros(k_pad, np.int32),
+                        np.zeros(k_pad, np.float32),
+                        np.zeros(k_pad, np.float32),
+                        np.zeros((k_pad, 2), np.uint32)]
                 if self.paged:
-                    tmpl.append(np.zeros(self.pages_per_slot, np.int32))
+                    tmpl.append(np.zeros((k_pad, self.pages_per_slot),
+                                         np.int32))
                 got = broadcast_step(tmpl)
-                padded, st, key = got[:3]
-                row = got[3] if self.paged else None
-                if self.paged:
-                    self.page_tables[slot_idx] = row
-                self.slot_keys[slot_idx] = key
-                self._dev_prefill_insert(padded, true_len, slot_idx,
-                                         float(st[0]), float(st[1]),
-                                         key, row)
+                tokens, true_lens, slots_arr, temps, top_ps, keys = got[:6]
+                rows = got[6] if self.paged else None
+                for j in range(n_real):
+                    self.slot_keys[slots_arr[j]] = keys[j]
+                    if self.paged:
+                        self.page_tables[slots_arr[j]] = rows[j]
+                self._dev_prefill_insert(tokens, true_lens, slots_arr, temps,
+                                         top_ps, keys, rows, n_real)
             elif op == _OP_SPEC:
                 k = a0
                 got = broadcast_step([
@@ -447,145 +461,181 @@ class Engine:
     # -- device loop --------------------------------------------------------
 
     def _admit(self):
+        """Admit every queued request a free slot exists for, prefilling the
+        whole batch in ONE padded (k, T) dispatch (serial per-request
+        prefills stalled decode for N weight streams on a burst)."""
+        batch: list[tuple[int, _Slot, Request]] = []
         for i, slot in enumerate(self.slots):
             if not slot.free:
                 continue
             try:
                 req = self.admission.get_nowait()
             except queue.Empty:
-                return
-            try:
-                self._start_request(i, slot, req)
-            except Exception:  # noqa: BLE001 — a failed admit must not lose the client
-                import traceback
+                break
+            batch.append((i, slot, req))
+        if not batch:
+            return
+        try:
+            self._start_requests(batch)
+        except Exception:  # noqa: BLE001 — a failed admit must not lose the client
+            import traceback
 
-                traceback.print_exc()
-                self.metrics["engine_errors"] += 1
+            traceback.print_exc()
+            self.metrics["engine_errors"] += 1
+            for i, slot, req in batch:
                 if self.paged:
                     self.allocator.release(i)
                     self.page_tables[i, :] = self.trash_page
                 slot.request = None
-                req.error = "engine error during prefill"
-                req.queue.put(None)
+                if req.error is None:
+                    req.error = "engine error during prefill"
+                    req.queue.put(None)
 
-    def _start_request(self, slot_idx: int, slot: _Slot, req: Request):
-        ids = [BOS_ID] + req.prompt_ids
-        t_pad = _bucket(len(ids))
-        t_ins = min(t_pad, self.max_len)
-        padded = np.zeros(t_pad, np.int32)
-        padded[: len(ids)] = ids
-        sub = np.asarray(jax.random.fold_in(self.base_key, self.req_counter),
-                         np.uint32)
-        self.req_counter += 1
-        self.slot_keys[slot_idx] = sub
-        row = None
-        if self.paged:
-            # page bookkeeping happens before the (broadcast) device call so
-            # the follower payload carries the final page-table row
-            if self.allocator.reserve(slot_idx, t_ins) < 0:
-                # out of KV pages: reject as an error, not a silent empty
-                # stream (the server turns req.error into an SSE error event)
-                req.error = "out of KV cache pages"
-                req.queue.put(None)
-                return
-            table = self.allocator.table(slot_idx)
-            self.page_tables[slot_idx, : len(table)] = table
-            row = self.page_tables[slot_idx].copy()
+    def _start_requests(self, batch: list[tuple[int, _Slot, "Request"]]):
+        # page bookkeeping first: a failed reserve rejects that request
+        # alone, and the (broadcast) device call carries final table rows
+        entries = []
+        for slot_idx, slot, req in batch:
+            ids = [BOS_ID] + req.prompt_ids
+            key = np.asarray(
+                jax.random.fold_in(self.base_key, self.req_counter),
+                np.uint32)
+            self.req_counter += 1
+            row = None
+            if self.paged:
+                t_ins = min(_bucket(len(ids)), self.max_len)
+                if self.allocator.reserve(slot_idx, t_ins) < 0:
+                    # out of KV pages: reject as an error, not a silent
+                    # empty stream (the server turns req.error into an SSE
+                    # error event)
+                    req.error = "out of KV cache pages"
+                    req.queue.put(None)
+                    continue
+                table = self.allocator.table(slot_idx)
+                self.page_tables[slot_idx, : len(table)] = table
+                row = self.page_tables[slot_idx].copy()
+            entries.append((slot_idx, slot, req, ids, key, row))
+        if not entries:
+            return
+        n_real = len(entries)
+        t_pad = _bucket(max(len(e[3]) for e in entries))
+        k_pad = _bucket_k(n_real, self.dp)
+        tokens = np.zeros((k_pad, t_pad), np.int32)
+        true_lens = np.ones(k_pad, np.int32)
+        slots_arr = np.zeros(k_pad, np.int32)
+        temps = np.zeros(k_pad, np.float32)
+        top_ps = np.full(k_pad, 0.9, np.float32)
+        keys = np.zeros((k_pad, 2), np.uint32)
+        rows = (np.full((k_pad, self.pages_per_slot), self.trash_page,
+                        np.int32) if self.paged else None)
+        for j in range(k_pad):
+            # pad rows duplicate the last real request: identical dispatch
+            # values, duplicate-but-identical cache writes
+            slot_idx, slot, req, ids, key, row = entries[min(j, n_real - 1)]
+            tokens[j, : len(ids)] = ids
+            true_lens[j] = len(ids)
+            slots_arr[j] = slot_idx
+            temps[j] = req.temperature
+            top_ps[j] = req.top_p
+            keys[j] = key
+            if self.paged:
+                rows[j] = row
         if self.multihost:
             from rama_tpu.parallel.distributed import broadcast_step
 
-            broadcast_step([np.asarray([_OP_PREFILL, t_pad, slot_idx,
-                                        len(ids)], np.int64)])
-            payload = [padded,
-                       np.asarray([req.temperature, req.top_p], np.float32),
-                       np.asarray(sub)]
+            broadcast_step([np.asarray([_OP_PREFILL, k_pad, t_pad, n_real],
+                                       np.int64)])
+            payload = [tokens, true_lens, slots_arr, temps, top_ps, keys]
             if self.paged:
-                payload.append(row)
+                payload.append(rows)
             broadcast_step(payload)
         with self.phases.phase("prefill"):
-            first = self._dev_prefill_insert(padded, len(ids), slot_idx,
-                                             req.temperature, req.top_p,
-                                             sub, row)
-        slot.request = req
-        slot.pos = len(ids)            # next decode position
-        slot.generated = 0
-        slot.last_token = first
-        # history buffer seeds the n-gram drafter; _emit appends each
-        # emitted token (including `first`, emitted just below)
-        slot.hist = np.zeros(self.max_len + max(self.spec, 1) + 1, np.int32)
-        slot.hist[: len(ids)] = ids
-        slot.hist_len = len(ids)
-        if req.echo_prompt:
-            # the reference stream re-emits prompt tokens while force-feeding
-            # them (mod.rs:227-241); serving callers usually don't want that
-            for t in req.prompt_ids:
-                req.queue.put(self.tokenizer.decode_token(t))
-        self._emit(slot, first)
+            firsts = self._dev_prefill_insert(tokens, true_lens, slots_arr,
+                                              temps, top_ps, keys, rows,
+                                              n_real)
+        for j, (slot_idx, slot, req, ids, key, row) in enumerate(entries):
+            self.slot_keys[slot_idx] = key
+            first = int(firsts[j])
+            slot.request = req
+            slot.pos = len(ids)            # next decode position
+            slot.generated = 0
+            slot.last_token = first
+            # history buffer seeds the n-gram drafter; _emit appends each
+            # emitted token (including `first`, emitted just below)
+            slot.hist = np.zeros(self.max_len + max(self.spec, 1) + 1,
+                                 np.int32)
+            slot.hist[: len(ids)] = ids
+            slot.hist_len = len(ids)
+            if req.echo_prompt:
+                # the reference stream re-emits prompt tokens while
+                # force-feeding them (mod.rs:227-241); serving callers
+                # usually don't want that
+                for t in req.prompt_ids:
+                    req.queue.put(self.tokenizer.decode_token(t))
+            self._emit(slot, first)
 
-    def _dev_prefill_insert(self, padded, true_len: int, slot_idx: int,
-                            temperature: float, top_p: float, key,
-                            row) -> int:
-        """The device-side half of request start: prefill + cache insert.
+    def _dev_prefill_insert(self, tokens, true_lens, slots_arr, temps,
+                            top_ps, keys, rows, n_real: int) -> np.ndarray:
+        """The device-side half of request admission: one batched (k, T)
+        prefill + cache inserts for the k admitted slots.
 
         Executed identically on the primary and (replayed from the broadcast
         payload) on every follower host, so the multi-host jit contract —
         same computation sequence, same global values — holds.
         """
         cfg = self.cfg
-        skey = jnp.asarray(key, jnp.uint32)
+        jkeys = jnp.asarray(keys, jnp.uint32)
         if self.use_mesh:
-            first, k_new, v_new = self._prefill_tp(padded, true_len,
-                                                   temperature, top_p, skey)
+            firsts, k_new, v_new = self._prefill_mesh(tokens, true_lens,
+                                                      temps, top_ps, jkeys)
         else:
-            first, k_new, v_new = _prefill(
-                self.params, cfg, jnp.asarray(padded), jnp.int32(true_len),
-                jnp.float32(temperature), jnp.float32(top_p), skey)
-        # pad strip may exceed cache length for long prompts; crop positions
-        t_ins = min(padded.shape[0], self.max_len)
-        k_new, v_new = k_new[:, :, :t_ins], v_new[:, :, :t_ins]
+            firsts, k_new, v_new = _prefill_batch(
+                self.params, cfg, jnp.asarray(tokens), jnp.asarray(true_lens),
+                jnp.asarray(temps), jnp.asarray(top_ps), jkeys)
+        # pad strips may exceed cache length for long prompts; crop positions
+        t_ins = min(tokens.shape[1], self.max_len)
+        k_new, v_new = k_new[:, :, :, :t_ins], v_new[:, :, :, :t_ins]
         if self.paged:
             from rama_tpu.runtime.paged import insert_prefill_paged
 
-            rowj = jnp.asarray(row)
-            if self.use_mesh:
-                self.cache = self._tp_paged_insert(self.cache, k_new, v_new,
-                                                   rowj)
-            else:
-                self.cache = insert_prefill_paged(cfg, self.cache, k_new,
-                                                  v_new, rowj)
+            # per-slot page scatters (pad duplicates skipped); the batched
+            # forward above is the expensive half, inserts are plain copies
+            for j in range(n_real):
+                strip_k, strip_v = k_new[:, j], v_new[:, j]
+                rowj = jnp.asarray(rows[j])
+                if self.use_mesh:
+                    self.cache = self._tp_paged_insert(self.cache, strip_k,
+                                                       strip_v, rowj)
+                else:
+                    self.cache = insert_prefill_paged(cfg, self.cache,
+                                                      strip_k, strip_v, rowj)
         else:
-            self.cache = _insert(cfg, self.cache, k_new, v_new,
-                                 jnp.int32(slot_idx))
-        return int(first)
+            self.cache = _insert_batch(self.cache, k_new, v_new,
+                                       jnp.asarray(slots_arr))
+        return np.asarray(firsts)
 
-    def _prefill_tp(self, padded, true_len, temperature, top_p, slot_key):
-        """Mesh (TP and/or DP) prefill into a sharded scratch cache.
+    def _prefill_mesh(self, tokens, true_lens, temps, top_ps, keys):
+        """Mesh (TP and/or DP) batched prefill into a sharded scratch cache.
 
-        Padded positions write to the scratch's last row (masked), same
-        scheme as _prefill; the returned strip is the local-then-global
-        sharded (L, kv, T, hd) K/V for insertion into the main cache.
-        Under dp > 1 the single prompt is tiled to dp identical rows so the
-        batch shards evenly; every replica computes the same row and row 0
-        is used.
+        Padding tokens write garbage K/V at positions >= true_len of the
+        scratch — safe: prefill queries only attend s <= their own position
+        (< true_len), and decode overwrites each position before its first
+        read (same argument as _prefill_batch's padded-row scheme). Returns
+        (firsts (k,), k/v strips (L, k, kv, T, hd), sharded).
         """
         from rama_tpu.parallel.tp import shard_cache
 
-        t_pad = padded.shape[0]
-        rows = max(1, self.dp)
+        k_pad, t_pad = tokens.shape
         scratch = shard_cache(
-            KVCache.create(self.cfg, batch=rows, max_len=t_pad), self.mesh)
-        # Padding tokens write garbage K/V at positions >= true_len of the
-        # scratch — safe: prefill queries only attend s <= their own position
-        # (< true_len), and decode overwrites each position before its first
-        # read (same argument as _prefill's padded-row scheme).
-        tokens = jnp.tile(jnp.asarray(padded)[None, :], (rows, 1))
-        logits, scratch = self._tp_prefill(self.params, tokens, scratch)
-        last = logits[0, true_len - 1][None, :]
-        keys = fold_in_pos(slot_key[None], jnp.asarray([true_len - 1]))
-        first = sample_batched_keyed(last, keys,
-                                     jnp.float32(temperature)[None],
-                                     jnp.float32(top_p)[None])[0]
-        return first, scratch.k[:, 0], scratch.v[:, 0]
+            KVCache.create(self.cfg, batch=k_pad, max_len=t_pad), self.mesh)
+        logits, scratch = self._tp_prefill(self.params, jnp.asarray(tokens),
+                                           scratch)
+        tl = jnp.asarray(true_lens)
+        last = jnp.take_along_axis(
+            logits, (tl - 1)[:, None, None], axis=1)[:, 0]
+        firsts = sample_batched_keyed(last, fold_in_pos(keys, tl - 1),
+                                      jnp.asarray(temps), jnp.asarray(top_ps))
+        return firsts, scratch.k, scratch.v
 
     def _emit(self, slot: _Slot, token: int):
         req = slot.request

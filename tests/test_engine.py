@@ -277,3 +277,25 @@ def test_sampled_stream_invariant_to_tick_shape(engine_setup):
             eng.stop()
     assert outs[0] == outs[1]
     assert outs[0] == outs[2]
+
+
+def test_burst_admission_prefills_in_one_dispatch(engine_setup):
+    """A burst of queued requests is admitted with ONE padded (k, T) prefill
+    dispatch (phase count), and every stream still matches its solo oracle."""
+    cfg, np_params, params, tok, _ = engine_setup
+    eng = Engine(cfg, params, tok, EngineConfig(max_batch_size=4))
+    reqs = [Request(prompt=p, steps=6, temperature=0.0)
+            for p in ("abc", "zq", "hello")]
+    for r in reqs:
+        # queue before the loop starts so all three are admitted in one batch
+        r.prompt_ids = tok.encode(r.prompt)
+        eng.admission.put(r)
+    eng.start()
+    try:
+        outs = [collect(r) for r in reqs]
+    finally:
+        eng.stop()
+    for r, got in zip(reqs, outs):
+        want_ids = oracle_chain(cfg, np_params, tok.encode(r.prompt), 6)
+        assert got == [tok.decode_token(i) for i in want_ids], r.prompt
+    assert eng.phases.counts["prefill"] == 1
