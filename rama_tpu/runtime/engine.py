@@ -341,6 +341,10 @@ class Engine:
         self.base_key = np.asarray(jax.random.PRNGKey(self.ecfg.seed))
         self.slot_keys = np.zeros((b, 2), np.uint32)
         self.req_counter = 0
+        # pipelined-tick state: the dispatched-but-unfetched tick (primary)
+        # and the last device token matrix (both hosts; feeds chained ticks)
+        self._inflight: dict | None = None
+        self._last_out = None
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self._wake = threading.Event()
@@ -417,17 +421,26 @@ class Engine:
             if op == _OP_RESET:
                 self._reset_cache()
             elif op == _OP_TICK:
-                n = a0
-                tmpl = [np.zeros(b, np.int32), np.zeros(b, np.int32),
-                        np.zeros(b, np.float32), np.zeros(b, np.float32),
-                        np.zeros((b, 2), np.uint32)]
+                n, chained = a0, bool(a1)
+                tmpl = ([] if chained else [np.zeros(b, np.int32)]) + [
+                    np.zeros(b, np.int32),
+                    np.zeros(b, np.float32), np.zeros(b, np.float32),
+                    np.zeros((b, 2), np.uint32)]
                 if self.paged:
                     tmpl.append(np.zeros_like(self.page_tables))
                 got = broadcast_step(tmpl)
-                tokens, pos, temps, tps, slot_keys = got[:5]
-                if self.paged:
-                    self.page_tables = got[5]
-                self._dev_tick(tokens, pos, temps, tps, slot_keys, n)
+                if chained:
+                    # chained tick: tokens are this host's own device copy of
+                    # the previous tick's output (identical on every host)
+                    tokens = self._last_out[-1]
+                    pos, temps, tps, slot_keys = got[:4]
+                    if self.paged:
+                        self.page_tables = got[4]
+                else:
+                    tokens, pos, temps, tps, slot_keys = got[:5]
+                    if self.paged:
+                        self.page_tables = got[5]
+                self._dev_tick_async(tokens, pos, temps, tps, slot_keys, n)
             elif op == _OP_PREFILL:
                 k_pad, t_pad, n_real = a0, a1, a2
                 tmpl = [np.zeros((k_pad, t_pad), np.int32),
@@ -679,6 +692,7 @@ class Engine:
 
                 traceback.print_exc()
                 self.metrics["engine_errors"] += 1
+                self._inflight = None  # its buffers may be poisoned
                 for s in self.slots:
                     if not s.free:
                         s.request.error = "engine error during decode"
@@ -688,6 +702,13 @@ class Engine:
 
                     broadcast_step([np.asarray([_OP_RESET, 0, 0, 0], np.int64)])
                 self._reset_cache()
+        # graceful stop: drain the in-flight tick so its tokens reach the
+        # streams instead of vanishing with the thread
+        if self._inflight is not None:
+            try:
+                self._process_inflight()
+            except Exception:  # noqa: BLE001
+                self._inflight = None
 
     def _reset_cache(self):
         if self.paged:
@@ -709,15 +730,29 @@ class Engine:
                 self.cache = shard_cache(self.cache, self.mesh)
 
     def _loop_once(self):
-        cfg = self.cfg
-        b = len(self.slots)
-        self._admit()
+        # Pipelined decode: while tick k's results are still on the device,
+        # tick k+1 is dispatched from k's device-resident output tokens (the
+        # sampled feedback never leaves the device), THEN k's tokens are
+        # fetched and emitted — so the per-dispatch host round-trip (fetch +
+        # emit + dispatch, ~25 ms fixed over a remote-TPU tunnel) overlaps
+        # device compute instead of serializing with it. The chain breaks
+        # whenever host state must influence the next tick (a queued
+        # admission, speculation's host drafts, engine stop).
+        if self._inflight is not None:
+            nxt = self._dispatch_chained() if self._chain_ok() else None
+            self._process_inflight()
+            self._inflight = nxt
+            if nxt is not None:
+                return
+        with self.phases.phase("admit"):
+            self._admit()
         active = [s for s in self.slots if not s.free]
         if not active:
             self._wake.wait(timeout=0.05)
             self._wake.clear()
             return
 
+        b = len(self.slots)
         tokens = np.zeros(b, np.int32)
         pos = np.zeros(b, np.int32)
         temps = np.zeros(b, np.float32)
@@ -752,16 +787,17 @@ class Engine:
             self.metrics["decode_ticks"] += 1
             self.metrics["decode_s"] += time.time() - t0
             self.metrics["spec_drafted"] += k * len(active)
-            for i, s in enumerate(self.slots):
-                if s.free:
-                    continue
-                self.metrics["spec_accepted"] += int(accept[i])
-                for j in range(int(accept[i]) + 1):
-                    s.pos += 1
-                    s.last_token = int(samples[j, i])
-                    self._emit(s, s.last_token)
-                    if s.free:  # finished mid-chunk; drop the rest
-                        break
+            with self.phases.phase("emit"):
+                for i, s in enumerate(self.slots):
+                    if s.free:
+                        continue
+                    self.metrics["spec_accepted"] += int(accept[i])
+                    for j in range(int(accept[i]) + 1):
+                        s.pos += 1
+                        s.last_token = int(samples[j, i])
+                        self._emit(s, s.last_token)
+                        if s.free:  # finished mid-chunk; drop the rest
+                            break
             return
         # Shrink the tick so no slot overshoots its remaining token budget by
         # much: one dispatch still yields up to decode_tick tokens, but a tick
@@ -772,32 +808,118 @@ class Engine:
         remaining = min(s.request.steps - s.generated for s in active)
         while n > 1 and n // 2 >= remaining:
             n //= 2
-        if self.paged:
-            # grow page tables to cover all n positions this tick writes;
-            # a failed reserve finishes that request with an error
-            for i, s in enumerate(self.slots):
-                if s.free:
-                    continue
-                if self.allocator.reserve(
-                        i, min(int(pos[i]) + n, self.max_len)) < 0:
-                    s.request.error = "out of KV cache pages"
-                    self._finish(s)
-                    continue
-                table = self.allocator.table(i)
-                self.page_tables[i, : len(table)] = table
-        if self.multihost:
-            from rama_tpu.parallel.distributed import broadcast_step
+        self._reserve_tick_pages(pos, n, finish_on_fail=True)
+        self._broadcast_tick(n, tokens, pos, temps, tps, chained=False)
+        with self.phases.phase("dispatch"):
+            out = self._dev_tick_async(tokens, pos, temps, tps,
+                                       self.slot_keys, n)
+        self._inflight = {"out": out, "n": n, "pos": pos, "temps": temps,
+                          "tps": tps,
+                          "reqs": [s.request for s in self.slots]}
 
-            broadcast_step([np.asarray([_OP_TICK, n, 0, 0], np.int64)])
-            payload = [tokens, pos, temps, tps, self.slot_keys.copy()]
-            if self.paged:
-                payload.append(self.page_tables.copy())
-            broadcast_step(payload)
+    def _chain_ok(self) -> bool:
+        """Dispatch tick k+1 from tick k's device-resident tokens?
+
+        Only when no host-side state change is pending: the admission queue
+        is empty (a waiting request should get any freed slot instead of
+        another speculative tick for its previous owner), speculation is off
+        (drafting needs the emitted history host-side), and the engine is
+        not stopping."""
+        return (not self.spec and self.admission.qsize() == 0
+                and not self._stop.is_set())
+
+    def _dispatch_chained(self):
+        """Dispatch the successor of the in-flight tick before fetching its
+        results. Tokens come straight from the in-flight tick's device
+        output (out[-1]); positions/temps are host bookkeeping, unchanged
+        since no admission happened. Slots that finish inside the in-flight
+        tick waste their chained rows (discarded at emit, KV writes land
+        above any attended position) — the standard speculative-overshoot
+        trade."""
+        inf = self._inflight
+        b = len(self.slots)
+        pos = np.zeros(b, np.int32)
+        act = []
+        for i, s in enumerate(self.slots):
+            if not s.free and s.request is inf["reqs"][i]:
+                pos[i] = inf["pos"][i] + inf["n"]
+                act.append(s)
+        if not act:
+            return None
+        # assume the in-flight tick emits fully; if that exhausts every
+        # budget there is nothing worth chaining
+        remaining = min(s.request.steps - (s.generated + inf["n"])
+                        for s in act)
+        if remaining <= 0:
+            return None
+        n = self.ecfg.decode_tick
+        while n > 1 and n // 2 >= remaining:
+            n //= 2
+        if not self._reserve_tick_pages(pos, n, finish_on_fail=False):
+            return None
+        self._broadcast_tick(n, None, pos, inf["temps"], inf["tps"],
+                             chained=True)
+        with self.phases.phase("dispatch"):
+            out = self._dev_tick_async(inf["out"][-1], pos, inf["temps"],
+                                       inf["tps"], self.slot_keys, n)
+        return {"out": out, "n": n, "pos": pos, "temps": inf["temps"],
+                "tps": inf["tps"], "reqs": inf["reqs"]}
+
+    def _process_inflight(self):
+        """Fetch the in-flight tick's tokens (blocks until the device
+        finishes) and emit them. Slots whose request changed since dispatch
+        discard their rows."""
+        inf = self._inflight
         t0 = time.time()
-        nxt = self._dev_tick(tokens, pos, temps, tps, self.slot_keys, n)
+        with self.phases.phase("fetch"):
+            nxt = np.asarray(inf["out"])                       # (n, B)
         self.metrics["decode_ticks"] += 1
         self.metrics["decode_s"] += time.time() - t0
-        self._emit_tick(nxt)
+        with self.phases.phase("emit"):
+            for i, s in enumerate(self.slots):
+                if s.free or s.request is not inf["reqs"][i]:
+                    continue
+                for j in range(nxt.shape[0]):
+                    s.pos += 1
+                    s.last_token = int(nxt[j, i])
+                    self._emit(s, s.last_token)
+                    if s.free:  # finished mid-tick; drop speculative tokens
+                        break
+        self._inflight = None
+
+    def _reserve_tick_pages(self, pos, n: int, finish_on_fail: bool) -> bool:
+        """Grow page tables to cover all n positions a tick writes. Returns
+        False if any active slot cannot be grown; with finish_on_fail that
+        slot's request is failed (the fresh-dispatch path), otherwise the
+        caller declines to chain and the failure is handled next loop."""
+        if not self.paged:
+            return True
+        ok = True
+        for i, s in enumerate(self.slots):
+            if s.free:
+                continue
+            if self.allocator.reserve(
+                    i, min(int(pos[i]) + n, self.max_len)) < 0:
+                ok = False
+                if finish_on_fail:
+                    s.request.error = "out of KV cache pages"
+                    self._finish(s)
+                continue
+            table = self.allocator.table(i)
+            self.page_tables[i, : len(table)] = table
+        return ok
+
+    def _broadcast_tick(self, n: int, tokens, pos, temps, tps, chained: bool):
+        if not self.multihost:
+            return
+        from rama_tpu.parallel.distributed import broadcast_step
+
+        broadcast_step([np.asarray([_OP_TICK, n, int(chained), 0], np.int64)])
+        payload = ([] if chained else [tokens]) + [pos, temps, tps,
+                                                   self.slot_keys.copy()]
+        if self.paged:
+            payload.append(self.page_tables.copy())
+        broadcast_step(payload)
 
     def _draft(self, slot: _Slot, k: int, gram: int = 2) -> np.ndarray:
         """Host-side prompt-lookup draft: continue the most recent earlier
@@ -838,8 +960,17 @@ class Engine:
         return np.asarray(samples), np.asarray(accept)
 
     def _dev_tick(self, tokens, pos, temps, tps, slot_keys, n: int) -> np.ndarray:
+        """Blocking decode tick (fetches the sampled tokens)."""
+        return np.asarray(self._dev_tick_async(tokens, pos, temps, tps,
+                                               slot_keys, n))
+
+    def _dev_tick_async(self, tokens, pos, temps, tps, slot_keys, n: int):
         """The device-side decode tick, executed identically on every host
-        (the follower replays it from the broadcast payload)."""
+        (the follower replays it from the broadcast payload). Returns the
+        DEVICE (n, B) token array without blocking; the last row feeds a
+        chained successor tick without a host round-trip (kept in
+        self._last_out so followers can chain from their own device copy).
+        `tokens` may be a host array or a device slice of a previous out."""
         cfg = self.cfg
         keys = jnp.asarray(slot_keys, jnp.uint32)
         if self.paged:
@@ -861,18 +992,8 @@ class Engine:
             nxt, self.cache = _decode_tick(
                 self.params, cfg, jnp.asarray(tokens), jnp.asarray(pos),
                 jnp.asarray(temps), jnp.asarray(tps), keys, self.cache, n)
-        return np.asarray(nxt)
-
-    def _emit_tick(self, nxt: np.ndarray):
-        for i, s in enumerate(self.slots):
-            if s.free:
-                continue
-            for j in range(nxt.shape[0]):
-                s.pos += 1
-                s.last_token = int(nxt[j, i])
-                self._emit(s, s.last_token)
-                if s.free:  # finished mid-tick; drop speculative tokens
-                    break
+        self._last_out = nxt
+        return nxt
 
     # -- observability ------------------------------------------------------
 

@@ -299,3 +299,26 @@ def test_burst_admission_prefills_in_one_dispatch(engine_setup):
         want_ids = oracle_chain(cfg, np_params, tok.encode(r.prompt), 6)
         assert got == [tok.decode_token(i) for i in want_ids], r.prompt
     assert eng.phases.counts["prefill"] == 1
+
+
+def test_mid_stream_admission_breaks_chain_correctly(engine_setup):
+    """Pipelined ticks: a request admitted while another is mid-stream (the
+    chained-dispatch path must break for it) still yields oracle-exact
+    streams for both, and the early request's tail is not lost."""
+    cfg, np_params, params, tok, _ = engine_setup
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(max_batch_size=4, decode_tick=2))
+    eng.start()
+    try:
+        r1 = Request(prompt="abc", steps=20, temperature=0.0)
+        eng.submit(r1)
+        # wait until r1 is mid-decode, then admit r2
+        r1.queue.put(r1.queue.get(timeout=60))  # peek-ish: first token back
+        r2 = Request(prompt="zq", steps=8, temperature=0.0)
+        eng.submit(r2)
+        got1, got2 = collect(r1), collect(r2)
+    finally:
+        eng.stop()
+    for prompt, steps, got in (("abc", 20, got1), ("zq", 8, got2)):
+        want_ids = oracle_chain(cfg, np_params, tok.encode(prompt), steps)
+        assert got == [tok.decode_token(i) for i in want_ids], prompt
