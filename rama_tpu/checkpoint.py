@@ -347,11 +347,17 @@ def _from_canonical(name: str, arr: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(arr.T)
 
 
-def compute_freqs(cfg: ModelConfig, dtype=np.float32):
-    """RoPE cos/sin tables, (seq_len, head_dim//2); model.py:41-47 semantics."""
+def compute_freqs(cfg: ModelConfig, dtype=np.float32, seq_len: int | None = None):
+    """RoPE cos/sin tables, (seq_len, head_dim//2); model.py:41-47 semantics.
+
+    `seq_len` overrides the checkpoint's table length for long-context
+    serving (EngineConfig.max_seq_len > header seq_len): the rotation is the
+    same exact function of position, just tabulated further out. Quality at
+    positions beyond the training context is the model's extrapolation
+    behavior — no NTK/position-interpolation rescaling is applied."""
     half = cfg.head_dim // 2
     inv = 1.0 / (cfg.rope_theta ** (np.arange(0, half, dtype=np.float64) * 2.0 / cfg.head_dim))
-    t = np.arange(cfg.seq_len, dtype=np.float64)
+    t = np.arange(seq_len or cfg.seq_len, dtype=np.float64)
     freqs = np.outer(t, inv)
     return np.cos(freqs).astype(dtype), np.sin(freqs).astype(dtype)
 

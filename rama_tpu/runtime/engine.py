@@ -240,7 +240,11 @@ class Engine:
         self.tokenizer = tokenizer
         self.ecfg = engine_config or EngineConfig()
         b = self.ecfg.max_batch_size
-        self.max_len = min(self.ecfg.max_seq_len or cfg.seq_len, cfg.seq_len)
+        # max_seq_len may EXCEED the checkpoint's seq_len (long-context
+        # serving): the cache and RoPE tables are sized to it below. The
+        # S-tiled decode-attention and ragged paged kernels exist precisely
+        # so long caches stream only the rows below each slot's position.
+        self.max_len = self.ecfg.max_seq_len or cfg.seq_len
         self.paged = self.ecfg.paged_kv
         self.tp = self.ecfg.tp_size
         self.dp = self.ecfg.dp_size
@@ -272,6 +276,15 @@ class Engine:
         if self.multihost and not self.use_mesh:
             raise ValueError("multi-host serving requires tp_size > 1 or "
                              "dp_size > 1 (a global mesh to shard over)")
+        if params["rope_cos"].shape[0] < self.max_len:
+            # long-context serving: retabulate RoPE out to the cache length
+            # (exact rotation, no rescaling — see checkpoint.compute_freqs)
+            from rama_tpu.checkpoint import compute_freqs
+
+            cos, sin = compute_freqs(cfg, seq_len=self.max_len)
+            params = dict(params)
+            params["rope_cos"] = jnp.asarray(cos, jnp.float32)
+            params["rope_sin"] = jnp.asarray(sin, jnp.float32)
         if "wqkv" in params:
             if self.tp > 1:
                 # fused column layout is tp-specific; a tp=1 fusion sharded

@@ -182,6 +182,10 @@ def main(argv=None):
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=255)
+    ap.add_argument("--max-seq-len", type=int, default=None,
+                    help="serving context length; may EXCEED the "
+                         "checkpoint's seq_len (RoPE tables are retabulated "
+                         "to the cache length — long-context serving)")
     ap.add_argument("--paged", action="store_true",
                     help="paged KV cache (page-pool memory, vLLM-style)")
     ap.add_argument("--page-size", type=int, default=128)
@@ -214,7 +218,8 @@ def main(argv=None):
 
     init_distributed(args.coordinator, args.num_hosts, args.host_id)
     engine = load_engine(args.model, args.tokenizer, args.quant, args.dtype,
-                         args.batch, paged=args.paged, page_size=args.page_size,
+                         args.batch, max_seq_len=args.max_seq_len,
+                         paged=args.paged, page_size=args.page_size,
                          tp=args.tp, dp=args.dp, kv_quant=args.kv_quant,
                          spec_tick=args.spec_tick)
     if not is_primary():

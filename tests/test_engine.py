@@ -322,3 +322,38 @@ def test_mid_stream_admission_breaks_chain_correctly(engine_setup):
     for prompt, steps, got in (("abc", 20, got1), ("zq", 8, got2)):
         want_ids = oracle_chain(cfg, np_params, tok.encode(prompt), steps)
         assert got == [tok.decode_token(i) for i in want_ids], prompt
+
+
+def test_long_context_beyond_checkpoint_seq_len():
+    """EngineConfig.max_seq_len > checkpoint seq_len: the cache and RoPE
+    tables extend to the serving length, and decoding past the checkpoint
+    horizon matches an engine whose checkpoint natively has that seq_len
+    (identical exact RoPE tables). Dense and paged."""
+    cfg32 = tiny_config(seq_len=32)
+    cfg96 = cfg32.replace(seq_len=96)
+    np_params = random_params(cfg32, seed=31)
+    tok = make_tokenizer(cfg32.vocab_size)
+
+    outs = {}
+    for label, cfg, ecfg in (
+            ("native96", cfg96, EngineConfig(max_batch_size=2)),
+            ("extended", cfg32, EngineConfig(max_batch_size=2,
+                                             max_seq_len=96)),
+            ("extended_paged", cfg32, EngineConfig(max_batch_size=2,
+                                                   max_seq_len=96,
+                                                   paged_kv=True,
+                                                   kv_page_size=16))):
+        params = load_params(cfg, np_params, dtype=jnp.float32)
+        eng = Engine(cfg, params, tok, ecfg)
+        eng.start()
+        try:
+            # decode well past position 32, the checkpoint horizon
+            r = Request(prompt="abab", steps=80, temperature=0.0,
+                        stop_at_eos=False)
+            eng.submit(r)
+            outs[label] = collect(r)
+        finally:
+            eng.stop()
+    assert len(outs["native96"]) == 80
+    assert outs["native96"] == outs["extended"]
+    assert outs["native96"] == outs["extended_paged"]
