@@ -49,8 +49,12 @@ def test_golden_decode_chains(goldens, name):
         quant, label = chain_name.split("/")
         if quant == "fp32":
             params = load_params(cfg, np_params, dtype=jnp.float32)
-        else:
+        elif quant == "int8":
             params = quantize_params(cfg, np_params, bits=8, group_size=16,
+                                     dtype=jnp.float32)
+        else:
+            gs4 = 8 if cfg.hidden_dim % 32 else 16
+            params = quantize_params(cfg, np_params, bits=4, group_size=gs4,
                                      dtype=jnp.float32)
         params = fuse_params(params, cfg)
         temp = 0.0 if label == "greedy" else 0.9

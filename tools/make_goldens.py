@@ -49,11 +49,17 @@ STEPS = 24
 def chains_for(cfg: ModelConfig, seed: int) -> dict:
     np_params = random_params(cfg, seed=seed)
     out = {}
-    for quant in ("fp32", "int8"):
+    for quant in ("fp32", "int8", "int4"):
         if quant == "fp32":
             params = load_params(cfg, np_params, dtype=jnp.float32)
-        else:
+        elif quant == "int8":
             params = quantize_params(cfg, np_params, bits=8, group_size=16,
+                                     dtype=jnp.float32)
+        else:
+            # int4 packing needs whole 2*gs blocks along every K; the tiny
+            # config's hidden_dim=176 forces gs=8 (176 % 32 != 0)
+            gs4 = 8 if cfg.hidden_dim % 32 else 16
+            params = quantize_params(cfg, np_params, bits=4, group_size=gs4,
                                      dtype=jnp.float32)
         params = fuse_params(params, cfg)
         for temp, top_p, label in ((0.0, 0.9, "greedy"), (0.9, 0.9, "sampled")):
