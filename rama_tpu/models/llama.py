@@ -531,6 +531,14 @@ _LAYER_KEYS = ("attn_norm", "wq", "wk", "wv", "wqkv", "wo", "ffn_norm",
                "w1", "w2", "w3", "w13")
 
 
+# Fused attention-block kernel (rope + cache write + attention + wo in one
+# pallas_call, ops/pallas/attn_block.py) for the T=1 dense-cache decode path.
+# Module flag so benches can A/B it; auto-disabled where unsupported.
+# OFF until the Mosaic lowering is validated on real hardware (interpret-mode
+# numerics are pinned by tests/test_attn_block.py).
+_ATTN_BLOCK = False
+
+
 def _forward_decode_fused(params: Params, cfg: ModelConfig, tokens: jax.Array,
                           pos_index: jax.Array, cache: KVCache,
                           tp_axis: str | None = None):
@@ -542,7 +550,9 @@ def _forward_decode_fused(params: Params, cfg: ModelConfig, tokens: jax.Array,
     attention reads the stacked cache in place via a layer-indexed Pallas
     kernel instead of a sliced dense view. Long caches (S > 512) use the
     S-tiled ragged kernel: bounded VMEM and only the rows below the slot's
-    position are streamed.
+    position are streamed. With a dense cache and quantized weights the
+    whole attention block (rope + cache write + attention + wo) runs as ONE
+    pallas_call per layer (ops/pallas/attn_block.py).
     """
     from rama_tpu.ops.pallas.decode_attention import (
         decode_attention_layer, decode_attention_layer_q8,
@@ -564,6 +574,17 @@ def _forward_decode_fused(params: Params, cfg: ModelConfig, tokens: jax.Array,
     )
 
     kv_quant = isinstance(cache, QuantKVCache)
+    attn_block = (
+        _ATTN_BLOCK
+        and not kv_quant
+        and hd == 128
+        and jax.default_backend() == "tpu"
+        and isinstance(params.get("wo"), QuantizedTensor)
+    )
+    if attn_block:
+        from rama_tpu.ops.pallas.attn_block import attn_block_supported
+
+        attn_block = attn_block_supported(cfg, params["wo"], cache.max_len, b)
 
     def body(carry, l):
         x, *cv = carry
@@ -586,39 +607,53 @@ def _forward_decode_fused(params: Params, cfg: ModelConfig, tokens: jax.Array,
             q = _linear_layered(xb, params["wq"], l).reshape(b, 1, nh, hd)
             k = _linear_layered(xb, params["wk"], l).reshape(b, 1, nkv, hd)
             v = _linear_layered(xb, params["wv"], l).reshape(b, 1, nkv, hd)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        if attn_block:
+            # one pallas_call: rope + cache write (in place, aliased) +
+            # attention + wo — no scatter op, no per-op glue
+            from rama_tpu.ops.pallas.attn_block import attn_block_layered
 
-        bi = jnp.arange(b)[:, None]
-        hi = jnp.arange(nkv_local)[None, :]
-        pi = pos[:, None]
-        if kv_quant:
-            ks_c, vs_c = cv[2], cv[3]
-            kq, ksc = kv_quant_rows(k[:, 0])     # (B,nkv,hd), (B,nkv)
-            vq, vsc = kv_quant_rows(v[:, 0])
-            k_c = k_c.at[l, bi, hi, pi].set(kq)
-            v_c = v_c.at[l, bi, hi, pi].set(vq)
-            ks_c = ks_c.at[l, bi, hi, pi].set(ksc)
-            vs_c = vs_c.at[l, bi, hi, pi].set(vsc)
-            cv = (k_c, v_c, ks_c, vs_c)
-            if k_c.shape[3] > 256:
-                att = decode_attention_layer_tiled_q8(
-                    q[:, 0], k_c, v_c, ks_c, vs_c, pos, l)
-            else:
-                att = decode_attention_layer_q8(
-                    q[:, 0], k_c, v_c, ks_c, vs_c, pos, l)
-        else:
-            k_c = k_c.at[l, bi, hi, pi].set(k[:, 0].astype(k_c.dtype))
-            v_c = v_c.at[l, bi, hi, pi].set(v[:, 0].astype(v_c.dtype))
+            attn_out, k_c, v_c = attn_block_layered(
+                q[:, 0], k[:, 0], v[:, 0], cos[:, 0], sin[:, 0],
+                k_c, v_c, params["wo"], pos, l)
             cv = (k_c, v_c)
-            if k_c.shape[3] > 256:
-                att = decode_attention_layer_tiled(q[:, 0], k_c, v_c, pos, l)
+            if tp_axis is not None:
+                attn_out = jax.lax.psum(attn_out, tp_axis)
+            x = x + attn_out[:, None]
+        else:
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+
+            bi = jnp.arange(b)[:, None]
+            hi = jnp.arange(nkv_local)[None, :]
+            pi = pos[:, None]
+            if kv_quant:
+                ks_c, vs_c = cv[2], cv[3]
+                kq, ksc = kv_quant_rows(k[:, 0])     # (B,nkv,hd), (B,nkv)
+                vq, vsc = kv_quant_rows(v[:, 0])
+                k_c = k_c.at[l, bi, hi, pi].set(kq)
+                v_c = v_c.at[l, bi, hi, pi].set(vq)
+                ks_c = ks_c.at[l, bi, hi, pi].set(ksc)
+                vs_c = vs_c.at[l, bi, hi, pi].set(vsc)
+                cv = (k_c, v_c, ks_c, vs_c)
+                if k_c.shape[3] > 256:
+                    att = decode_attention_layer_tiled_q8(
+                        q[:, 0], k_c, v_c, ks_c, vs_c, pos, l)
+                else:
+                    att = decode_attention_layer_q8(
+                        q[:, 0], k_c, v_c, ks_c, vs_c, pos, l)
             else:
-                att = decode_attention_layer(q[:, 0], k_c, v_c, pos, l)
-        attn_out = _linear_layered(att, params["wo"], l)
-        if tp_axis is not None:
-            attn_out = jax.lax.psum(attn_out, tp_axis)
-        x = x + attn_out[:, None]
+                k_c = k_c.at[l, bi, hi, pi].set(k[:, 0].astype(k_c.dtype))
+                v_c = v_c.at[l, bi, hi, pi].set(v[:, 0].astype(v_c.dtype))
+                cv = (k_c, v_c)
+                if k_c.shape[3] > 256:
+                    att = decode_attention_layer_tiled(q[:, 0], k_c, v_c,
+                                                       pos, l)
+                else:
+                    att = decode_attention_layer(q[:, 0], k_c, v_c, pos, l)
+            attn_out = _linear_layered(att, params["wo"], l)
+            if tp_axis is not None:
+                attn_out = jax.lax.psum(attn_out, tp_axis)
+            x = x + attn_out[:, None]
 
         xb = rmsnorm(x, jnp.take(params["ffn_norm"], l, axis=0), cfg.norm_eps)
         if ffn_one_call:
