@@ -534,9 +534,20 @@ _LAYER_KEYS = ("attn_norm", "wq", "wk", "wv", "wqkv", "wo", "ffn_norm",
 # Fused attention-block kernel (rope + cache write + attention + wo in one
 # pallas_call, ops/pallas/attn_block.py) for the T=1 dense-cache decode path.
 # Module flag so benches can A/B it; auto-disabled where unsupported.
-# OFF until the Mosaic lowering is validated on real hardware (interpret-mode
-# numerics are pinned by tests/test_attn_block.py).
-_ATTN_BLOCK = False
+# Correct on v5e (kernel-vs-XLA max-abs-err 0.0015 at 7B shapes for
+# int8/int4 x b=1/8) but measured SLOWER than the unfused pipeline in
+# same-session A/Bs (driver bench, 2026-08-19):
+#   int8 b=1: off 95.6 / light 92.5 / full 90.8 tok/s
+#   int4 b=1: off 145.5 / light 137-139 / full 135.0 tok/s
+# i.e. XLA's op pipeline around the existing attention kernel is already
+# tight; the fused call's extra in-kernel work (rope rolls, t==0 fold,
+# window RMW) and, for the full variant, its tighter VMEM budget (hb=8
+# head groups) cost more than the removed op boundaries. Kept for A/B and
+# future chips. Modes (env RAMA_ATTN_BLOCK): 0 = off (default); 1 = light
+# (rope + cache write + attention fused, wo separate); 2 = full (wo too).
+import os as _os
+
+_ATTN_BLOCK = int(_os.environ.get("RAMA_ATTN_BLOCK", "0"))
 
 
 def _forward_decode_fused(params: Params, cfg: ModelConfig, tokens: jax.Array,
@@ -584,7 +595,8 @@ def _forward_decode_fused(params: Params, cfg: ModelConfig, tokens: jax.Array,
     if attn_block:
         from rama_tpu.ops.pallas.attn_block import attn_block_supported
 
-        attn_block = attn_block_supported(cfg, params["wo"], cache.max_len, b)
+        if not attn_block_supported(cfg, params["wo"], cache.max_len, b):
+            attn_block = 0
 
     def body(carry, l):
         x, *cv = carry
@@ -607,7 +619,7 @@ def _forward_decode_fused(params: Params, cfg: ModelConfig, tokens: jax.Array,
             q = _linear_layered(xb, params["wq"], l).reshape(b, 1, nh, hd)
             k = _linear_layered(xb, params["wk"], l).reshape(b, 1, nkv, hd)
             v = _linear_layered(xb, params["wv"], l).reshape(b, 1, nkv, hd)
-        if attn_block:
+        if attn_block == 2:
             # one pallas_call: rope + cache write (in place, aliased) +
             # attention + wo — no scatter op, no per-op glue
             from rama_tpu.ops.pallas.attn_block import attn_block_layered
@@ -616,6 +628,19 @@ def _forward_decode_fused(params: Params, cfg: ModelConfig, tokens: jax.Array,
                 q[:, 0], k[:, 0], v[:, 0], cos[:, 0], sin[:, 0],
                 k_c, v_c, params["wo"], pos, l)
             cv = (k_c, v_c)
+            if tp_axis is not None:
+                attn_out = jax.lax.psum(attn_out, tp_axis)
+            x = x + attn_out[:, None]
+        elif attn_block:
+            # light fusion: rope + in-place cache write + attention in one
+            # call; wo keeps its full standalone tiling budget
+            from rama_tpu.ops.pallas.attn_block import attn_rope_write_layered
+
+            att, k_c, v_c = attn_rope_write_layered(
+                q[:, 0], k[:, 0], v[:, 0], cos[:, 0], sin[:, 0],
+                k_c, v_c, pos, l)
+            cv = (k_c, v_c)
+            attn_out = _linear_layered(att, params["wo"], l)
             if tp_axis is not None:
                 attn_out = jax.lax.psum(attn_out, tp_axis)
             x = x + attn_out[:, None]

@@ -62,7 +62,9 @@ def make_case(b=2, nkv=4, rep=1, hd=128, s=64, n_layers=2, gs=16, bits=8,
 @pytest.mark.parametrize("rep", [1, 2])
 @pytest.mark.parametrize("acc_c", [True, False])
 def test_attn_block_matches_composed(bits, rep, acc_c):
-    case = make_case(rep=rep, bits=bits, seed=11 + bits + rep)
+    # acc_c (transposed-att phase C) only engages at b == 1
+    case = make_case(b=1 if acc_c else 2, rep=rep, bits=bits,
+                     seed=11 + bits + rep)
     q, kn, vn, cos, sin, k_full, v_full, wo, pos = case
     layer = jnp.int32(1)
 
@@ -104,3 +106,30 @@ def test_attn_block_pos_edges():
                                    rtol=2e-3, atol=2e-3)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=5e-3, atol=5e-3, err_msg=f"pos={p0}")
+
+
+@pytest.mark.parametrize("rep", [1, 2])
+def test_attn_rope_write_matches_composed(rep):
+    """Light fusion (rope + cache write + attention, wo outside) matches the
+    composed ops."""
+    from rama_tpu.ops.pallas.attn_block import attn_rope_write_layered
+
+    q, kn, vn, cos, sin, k_full, v_full, wo, pos = make_case(
+        b=2, rep=rep, seed=29 + rep)
+    layer = jnp.int32(1)
+    want, k_want, v_want = composed_reference(
+        q, kn, vn, cos, sin, k_full, v_full, wo, pos, layer)
+
+    att, k_got, v_got = attn_rope_write_layered(
+        q, kn, vn, cos, sin, k_full, v_full, pos, layer,
+        chunk=16, interpret=True)
+    from rama_tpu.ops.quant import QuantizedTensor
+    wl = QuantizedTensor(q=wo.q[1], scales=wo.scales[1],
+                         group_size=wo.group_size, bits=wo.bits)
+    got = matmul_xla(att, wl, dtype=att.dtype)
+    np.testing.assert_allclose(np.asarray(k_got), np.asarray(k_want),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(v_got), np.asarray(v_want),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-3, atol=5e-3)
