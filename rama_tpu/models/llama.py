@@ -655,10 +655,13 @@ def _forward_decode_fused(params: Params, cfg: ModelConfig, tokens: jax.Array,
                 ks_c, vs_c = cv[2], cv[3]
                 kq, ksc = kv_quant_rows(k[:, 0])     # (B,nkv,hd), (B,nkv)
                 vq, vsc = kv_quant_rows(v[:, 0])
-                k_c = k_c.at[l, bi, hi, pi].set(kq)
-                v_c = v_c.at[l, bi, hi, pi].set(vq)
-                ks_c = ks_c.at[l, bi, hi, pi].set(ksc)
-                vs_c = vs_c.at[l, bi, hi, pi].set(vsc)
+                # XLA's int8 scatter materializes the whole layer slice
+                # (broadcast+select, ~1.7 ms/step at 7B b=8); the Pallas
+                # writer updates the 32-row window in place (aliased)
+                from rama_tpu.ops.pallas.kv_write import write_kv_rows_q8
+
+                k_c, v_c, ks_c, vs_c = write_kv_rows_q8(
+                    k_c, v_c, ks_c, vs_c, kq, vq, ksc, vsc, pos, l)
                 cv = (k_c, v_c, ks_c, vs_c)
                 if k_c.shape[3] > 256:
                     att = decode_attention_layer_tiled_q8(

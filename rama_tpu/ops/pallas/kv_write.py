@@ -1,0 +1,104 @@
+"""In-place KV-cache row write (Pallas TPU, aliased outputs).
+
+XLA lowers the quantized cache's per-slot row update
+(`cache.at[l, b, h, pos_b].set(row)`) to a broadcast+select over the whole
+(B, nkv, S, hd) int8 layer slice — measured 1.7 ms/step at 7B b=8 S=512
+(8 × ~215 us `broadcast_in_dim` ops on the device timeline), dwarfing the
+32 KB actually written. The bf16 cache scatter updates in place, but int8
+scatters don't. This kernel writes row pos[b] of layer `layer` through
+ALIASED input/output windows: per slot, only the 32-row stripe containing
+pos (int8 sublane tile) and the 128-column scale window are DMA'd —
+~0.5 MB/layer for the whole batch instead of ~34 MB.
+
+The reference appends to its dense cache with a strided copy_from_slice per
+layer per token (engine/src/transformer/infer.rs:31-33); this is the batched,
+quantized, in-place TPU equivalent.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(sc_ref, kq_ref, vq_ref, ksc_ref, vsc_ref,
+            kin_ref, vin_ref, ksin_ref, vsin_ref,
+            ko_ref, vo_ref, kso_ref, vso_ref, *, r: int, cs: int):
+    bi = pl.program_id(0)
+    pos = sc_ref[bi]
+    nkv, hd = kq_ref.shape[1], kq_ref.shape[2]
+
+    # cache rows: window row pos % r gets the new (nkv, hd) slab
+    ri = jax.lax.broadcasted_iota(jnp.int32, (nkv, r, hd), 1)
+    sel = ri == pos % r
+    ko_ref[0, 0] = jnp.where(sel, kq_ref[0][:, None, :], kin_ref[0, 0])
+    vo_ref[0, 0] = jnp.where(sel, vq_ref[0][:, None, :], vin_ref[0, 0])
+
+    # row scales: window column pos % cs
+    ci = jax.lax.broadcasted_iota(jnp.int32, (nkv, cs), 1)
+    selc = ci == pos % cs
+    kso_ref[0, 0] = jnp.where(selc, ksc_ref[0], ksin_ref[0, 0])
+    vso_ref[0, 0] = jnp.where(selc, vsc_ref[0], vsin_ref[0, 0])
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def write_kv_rows_q8(k8, v8, ks, vs, kq, vq, ksc, vsc, pos, layer, *,
+                     interpret: bool = False):
+    """Write the current decode rows into the stacked int8 cache in place.
+
+    k8/v8 (L, B, nkv, S, hd) int8 and ks/vs (L, B, nkv, S) f32 are DONATED
+    and updated at [layer, b, :, pos[b]] for every slot b. kq/vq (B, nkv, hd)
+    int8 rows; ksc/vsc (B, nkv) f32 row scales (see kv_quant_rows). Returns
+    the four updated arrays.
+    """
+    L, B, nkv, S, hd = k8.shape
+    r = 32 if S % 32 == 0 else S     # int8 sublane tile is 32 rows
+    cs = 128 if S % 128 == 0 else S
+    scalars = jnp.concatenate([pos.astype(jnp.int32),
+                               layer.reshape(1).astype(jnp.int32)])
+    li = lambda sc: sc[sc.shape[0] - 1]
+
+    def row_idx(bi, sc):
+        return (li(sc), bi, 0, sc[bi] // r, 0)
+
+    def col_idx(bi, sc):
+        return (li(sc), bi, 0, sc[bi] // cs)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, nkv, hd), lambda bi, sc: (bi, 0, 0)),
+            pl.BlockSpec((1, nkv, hd), lambda bi, sc: (bi, 0, 0)),
+            pl.BlockSpec((1, nkv, 1), lambda bi, sc: (bi, 0, 0)),
+            pl.BlockSpec((1, nkv, 1), lambda bi, sc: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, nkv, r, hd), row_idx),
+            pl.BlockSpec((1, 1, nkv, r, hd), row_idx),
+            pl.BlockSpec((1, 1, nkv, cs), col_idx),
+            pl.BlockSpec((1, 1, nkv, cs), col_idx),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, nkv, r, hd), row_idx),
+            pl.BlockSpec((1, 1, nkv, r, hd), row_idx),
+            pl.BlockSpec((1, 1, nkv, cs), col_idx),
+            pl.BlockSpec((1, 1, nkv, cs), col_idx),
+        ],
+    )
+    # flattened inputs: 0 scalars, 1 kq, 2 vq, 3 ksc, 4 vsc,
+    # 5 k8, 6 v8, 7 ks, 8 vs — caches donated to outputs 0-3
+    return pl.pallas_call(
+        partial(_kernel, r=r, cs=cs),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k8.shape, k8.dtype),
+            jax.ShapeDtypeStruct(v8.shape, v8.dtype),
+            jax.ShapeDtypeStruct(ks.shape, ks.dtype),
+            jax.ShapeDtypeStruct(vs.shape, vs.dtype),
+        ],
+        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+        interpret=interpret,
+    )(scalars, kq, vq, ksc[:, :, None], vsc[:, :, None], k8, v8, ks, vs)

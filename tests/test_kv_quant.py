@@ -30,9 +30,10 @@ def _xla_want(q, k8, v8, ks, vs, pos):
 
 
 @pytest.mark.parametrize("s", [64, 1024])
-def test_decode_attention_q8_matches_dequant(s):
+@pytest.mark.parametrize("rep", [1, 2])
+def test_decode_attention_q8_matches_dequant(s, rep):
     rng = np.random.default_rng(s)
-    B, nkv, hd, rep = 2, 2, 128, 2
+    B, nkv, hd = 2, 2, 128
     k8, v8, ks, vs = _quant_cache(rng, 1, B, nkv, s, hd)
     q = jnp.asarray(rng.standard_normal((B, nkv * rep, hd)).astype(np.float32),
                     jnp.bfloat16)
@@ -44,9 +45,10 @@ def test_decode_attention_q8_matches_dequant(s):
                                atol=0.03, rtol=0.05)
 
 
-def test_decode_attention_layer_q8_variants():
+@pytest.mark.parametrize("rep", [1, 2])
+def test_decode_attention_layer_q8_variants(rep):
     rng = np.random.default_rng(1)
-    L, B, nkv, hd, rep, s = 3, 2, 2, 128, 2, 1024
+    L, B, nkv, hd, s = 3, 2, 2, 128, 1024
     k8, v8, ks, vs = _quant_cache(rng, L, B, nkv, s, hd)
     q = jnp.asarray(rng.standard_normal((B, nkv * rep, hd)).astype(np.float32),
                     jnp.bfloat16)
@@ -122,3 +124,34 @@ def test_engine_with_int8_kv_cache():
         finally:
             eng.stop()
     assert outs["int8"] == outs["dense"]
+
+
+@pytest.mark.parametrize("s", [24, 64, 256])
+def test_write_kv_rows_q8_matches_scatter(s):
+    """The aliased Pallas row writer must byte-match the XLA scatter update
+    (which it replaces on TPU — the int8 scatter materializes whole layer
+    slices there)."""
+    from rama_tpu.ops.pallas.kv_write import write_kv_rows_q8
+
+    rng = np.random.default_rng(7)
+    L, B, nkv, hd = 3, 4, 2, 128
+    k8 = jnp.asarray(rng.integers(-127, 128, (L, B, nkv, s, hd)), jnp.int8)
+    v8 = jnp.asarray(rng.integers(-127, 128, (L, B, nkv, s, hd)), jnp.int8)
+    ks = jnp.asarray(rng.standard_normal((L, B, nkv, s)), jnp.float32)
+    vs = jnp.asarray(rng.standard_normal((L, B, nkv, s)), jnp.float32)
+    kq = jnp.asarray(rng.integers(-127, 128, (B, nkv, hd)), jnp.int8)
+    vq = jnp.asarray(rng.integers(-127, 128, (B, nkv, hd)), jnp.int8)
+    ksc = jnp.asarray(rng.standard_normal((B, nkv)), jnp.float32)
+    vsc = jnp.asarray(rng.standard_normal((B, nkv)), jnp.float32)
+    pos = jnp.asarray([0, 5, s // 2, s - 1], jnp.int32)
+    for l in range(L):
+        li = jnp.int32(l)
+        got = write_kv_rows_q8(k8, v8, ks, vs, kq, vq, ksc, vsc, pos, li,
+                               interpret=True)
+        bi = jnp.arange(B)[:, None]
+        hi = jnp.arange(nkv)[None, :]
+        pi = pos[:, None]
+        want = (k8.at[l, bi, hi, pi].set(kq), v8.at[l, bi, hi, pi].set(vq),
+                ks.at[l, bi, hi, pi].set(ksc), vs.at[l, bi, hi, pi].set(vsc))
+        for g, w in zip(got, want):
+            assert np.array_equal(np.asarray(g), np.asarray(w))
