@@ -100,7 +100,10 @@ class EngineConfig:
     # Speculative serving: draft this many tokens per engine tick by per-slot
     # n-gram prompt lookup and verify the whole chunk in ONE batched forward
     # (one weight stream for up to spec_tick+1 emitted tokens per slot).
-    # 0 = off (plain decode_tick scan). Dense slots, single host, tp=1.
+    # 0 = off (plain decode_tick scan). Composes with tensor/data
+    # parallelism, multi-host, and the int8 KV cache (tests/test_tp.py,
+    # tests/test_kv_quant.py); dense slots only — the ragged paged kernels
+    # have no chunk (T<=8) variant yet.
     spec_tick: int = 0
 
     # Parallelism knobs: the engine builds a (dp_size, tp_size) device mesh.
@@ -109,3 +112,8 @@ class EngineConfig:
     # dense slots only — the paged pool is not data-sharded yet).
     tp_size: int = 1
     dp_size: int = 1
+
+    # Persistent XLA compilation cache directory (None = off). With it set,
+    # Engine.warmup()'s program grid compiles once per machine; later server
+    # starts reload each program from disk in milliseconds.
+    compile_cache: str | None = None

@@ -572,8 +572,8 @@ def _forward_decode_fused(params: Params, cfg: ModelConfig, tokens: jax.Array,
     b = tokens.shape[0]
     dtype = params["final_norm"].dtype
     x = _embed(params["tok_embedding"], tokens, dtype)          # (B, 1, D)
-    cos = jnp.take(params["rope_cos"], pos_index, axis=0)
-    sin = jnp.take(params["rope_sin"], pos_index, axis=0)
+    cos = jnp.take(params["rope_cos"], pos_index, axis=0, mode="clip")
+    sin = jnp.take(params["rope_sin"], pos_index, axis=0, mode="clip")
     pos = pos_index[:, 0]                                        # (B,)
     hd = cfg.head_dim
     fused = "wqkv" in params
@@ -740,8 +740,8 @@ def _forward_chunk_fused(params: Params, cfg: ModelConfig, tokens: jax.Array,
     dtype = params["final_norm"].dtype
     x = _embed(params["tok_embedding"], tokens, dtype)          # (B, T, D)
     pos_index = pos0[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
-    cos = jnp.take(params["rope_cos"], pos_index, axis=0)       # (B, T, hd/2)
-    sin = jnp.take(params["rope_sin"], pos_index, axis=0)
+    cos = jnp.take(params["rope_cos"], pos_index, axis=0, mode="clip")       # (B, T, hd/2)
+    sin = jnp.take(params["rope_sin"], pos_index, axis=0, mode="clip")
     hd = cfg.head_dim
     fused = "wqkv" in params
     ffn_one_call = (
@@ -887,8 +887,8 @@ def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
     dtype = params["final_norm"].dtype
     x = _embed(params["tok_embedding"], tokens, dtype)
 
-    cos = jnp.take(params["rope_cos"], pos_index, axis=0)  # (B, T, hd/2)
-    sin = jnp.take(params["rope_sin"], pos_index, axis=0)
+    cos = jnp.take(params["rope_cos"], pos_index, axis=0, mode="clip")  # (B, T, hd/2)
+    sin = jnp.take(params["rope_sin"], pos_index, axis=0, mode="clip")
 
     s = cache.max_len
     pos_mask = jnp.arange(s)[None, None, :] <= pos_index[:, :, None]  # (B,T,S)

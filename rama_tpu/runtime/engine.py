@@ -85,9 +85,18 @@ def _bucket(n: int, lo: int = 16) -> int:
     return b
 
 
-def _bucket_k(n: int, dp: int = 1) -> int:
-    """Prefill batch bucket: dp * 2^j >= n, so every padded admission batch
-    both bounds the compile count and divides the data-parallel axis."""
+def _bucket_k(n: int, dp: int = 1, b: int = 1, t_pad: int = 16) -> int:
+    """Prefill batch bucket for n admitted requests (b slots, T bucket t_pad).
+
+    In the weight-stream-bound regime (k*T small — the (k, T) forward costs
+    one weight stream regardless of k) pad straight to the full slot count:
+    ONE compiled shape per T bucket, so trailing single-slot admissions
+    reuse the program the first burst compiled instead of paying a fresh
+    multi-second XLA compile mid-serving. For long prompts (compute-bound)
+    fall back to dp * 2^j >= n so padding waste stays bounded. Both choices
+    divide the data-parallel axis (b % dp is enforced at Engine init)."""
+    if b * t_pad <= 4096:
+        return max(b, n)
     return _bucket(n, lo=max(dp, 1))
 
 
@@ -239,6 +248,10 @@ class Engine:
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.ecfg = engine_config or EngineConfig()
+        if self.ecfg.compile_cache:
+            from rama_tpu.utils.platform import enable_compile_cache
+
+            enable_compile_cache(self.ecfg.compile_cache)
         b = self.ecfg.max_batch_size
         # max_seq_len may EXCEED the checkpoint's seq_len (long-context
         # serving): the cache and RoPE tables are sized to it below. The
@@ -418,6 +431,84 @@ class Engine:
 
             broadcast_step([np.asarray([_OP_STOP, 0, 0, 0], np.int64)])
 
+    def warmup(self, max_prompt: int | None = None) -> dict:
+        """Precompile every device program the serving loop can dispatch.
+
+        XLA compiles each distinct program (shape x static args) on first
+        use — several seconds each at 7B — and without warmup those compiles
+        land mid-serving: one cold (k, T) prefill bucket stalls every active
+        stream for the full compile (measured on the round-3 serving bench:
+        mid-stream prefill compiles cost ~45% of aggregate throughput).
+        Runs the real tick/spec/prefill code paths on zeroed dummy batches.
+        Dummy traffic writes cache rows only at slot 0 / position 0 (paged:
+        the trash page), so call this BEFORE submitting traffic — typically
+        right before start(). With EngineConfig.compile_cache set, later
+        processes reload these programs from disk instead of recompiling.
+
+        max_prompt bounds the prefill T buckets (default: every bucket up
+        to max_seq_len). Returns {"programs": count, "seconds": wall}.
+        """
+        b = len(self.slots)
+        t0 = time.time()
+        count = 0
+        zb = np.zeros(b, np.int32)
+        zt = np.zeros(b, np.float32)
+        zp = np.full(b, 0.9, np.float32)
+        # decode ticks: the budget-shrink loop emits powers of two <= tick
+        n = max(1, self.ecfg.decode_tick)
+        while True:
+            self._broadcast_tick(n, zb, zb, zt, zp, chained=False)
+            self._dev_tick(zb, zb, zt, zp, self.slot_keys, n)
+            count += 1
+            if n == 1:
+                break
+            n //= 2
+        if self.spec:
+            chunk = np.zeros((b, self.spec + 1), np.int32)
+            if self.multihost:
+                from rama_tpu.parallel.distributed import broadcast_step
+
+                broadcast_step([np.asarray([_OP_SPEC, self.spec, 0, 0],
+                                           np.int64)])
+                broadcast_step([chunk, zb, zt, zp, self.slot_keys.copy()])
+            self._dev_spec(chunk, zb, zt, zp, self.slot_keys, self.spec)
+            count += 1
+        # prefill (k, T) buckets: exactly the shapes _start_requests can emit
+        # (power-of-two buckets capped at the cache length)
+        hi = min((max_prompt or self.max_len) + 1, self.max_len)
+        ts, t = [], 16
+        while True:
+            ts.append(min(t, self.max_len))
+            if t >= hi:
+                break
+            t *= 2
+        for t_pad in ts:
+            kset = sorted({_bucket_k(nn, self.dp, b, t_pad)
+                           for nn in range(1, b + 1)})
+            for k_pad in kset:
+                tokens = np.zeros((k_pad, t_pad), np.int32)
+                true_lens = np.ones(k_pad, np.int32)
+                slots_arr = np.zeros(k_pad, np.int32)
+                temps = np.zeros(k_pad, np.float32)
+                top_ps = np.full(k_pad, 0.9, np.float32)
+                keys = np.zeros((k_pad, 2), np.uint32)
+                rows = (np.full((k_pad, self.pages_per_slot), self.trash_page,
+                                np.int32) if self.paged else None)
+                if self.multihost:
+                    from rama_tpu.parallel.distributed import broadcast_step
+
+                    broadcast_step([np.asarray([_OP_PREFILL, k_pad, t_pad, 1],
+                                               np.int64)])
+                    payload = [tokens, true_lens, slots_arr, temps, top_ps,
+                               keys]
+                    if self.paged:
+                        payload.append(rows)
+                    broadcast_step(payload)
+                self._dev_prefill_insert(tokens, true_lens, slots_arr, temps,
+                                         top_ps, keys, rows, 1)
+                count += 1
+        return {"programs": count, "seconds": time.time() - t0}
+
     def follow(self):
         """Run this process as a multi-host follower (host != 0): replay the
         primary's device-call sequence from the broadcast protocol so every
@@ -544,8 +635,11 @@ class Engine:
         if not entries:
             return
         n_real = len(entries)
-        t_pad = _bucket(max(len(e[3]) for e in entries))
-        k_pad = _bucket_k(n_real, self.dp)
+        # cap the T bucket at the cache length: rows above max_len are
+        # cropped at insert anyway, and positions >= the RoPE table length
+        # would gather garbage (jnp.take clips, but why compute the rows)
+        t_pad = min(_bucket(max(len(e[3]) for e in entries)), self.max_len)
+        k_pad = _bucket_k(n_real, self.dp, len(self.slots), t_pad)
         tokens = np.zeros((k_pad, t_pad), np.int32)
         true_lens = np.ones(k_pad, np.int32)
         slots_arr = np.zeros(k_pad, np.int32)

@@ -143,7 +143,8 @@ def load_engine(model_path: str, tokenizer_path: str, quant: str = "auto",
                 dtype: str = "bfloat16", batch: int = 8,
                 max_seq_len: int | None = None, paged: bool = False,
                 page_size: int = 128, tp: int = 1, dp: int = 1,
-                kv_quant: str | None = None, spec_tick: int = 0) -> Engine:
+                kv_quant: str | None = None, spec_tick: int = 0,
+                compile_cache: str | None = None) -> Engine:
     import jax.numpy as jnp
 
     from rama_tpu.checkpoint import (load_checkpoint, load_checkpoint_quantized,
@@ -168,7 +169,8 @@ def load_engine(model_path: str, tokenizer_path: str, quant: str = "auto",
     ecfg = EngineConfig(model_path=model_path, tokenizer_path=tokenizer_path,
                         max_batch_size=batch, max_seq_len=max_seq_len,
                         paged_kv=paged, kv_page_size=page_size, tp_size=tp,
-                        dp_size=dp, kv_quant=kv_quant, spec_tick=spec_tick)
+                        dp_size=dp, kv_quant=kv_quant, spec_tick=spec_tick,
+                        compile_cache=compile_cache)
     return Engine(cfg, params, tokenizer, ecfg)
 
 
@@ -209,6 +211,16 @@ def main(argv=None):
                          "via RAMA_NUM_HOSTS)")
     ap.add_argument("--num-hosts", type=int, default=None)
     ap.add_argument("--host-id", type=int, default=None)
+    ap.add_argument("--warmup", action="store_true",
+                    help="precompile every (k, T) prefill bucket and decode "
+                         "tick before accepting traffic (no mid-serving XLA "
+                         "compiles; pair with --compile-cache to pay the "
+                         "cost once per machine)")
+    ap.add_argument("--warmup-max-prompt", type=int, default=None,
+                    help="bound the warmed prefill T buckets to this prompt "
+                         "length (default: up to --max-seq-len)")
+    ap.add_argument("--compile-cache", default=None, metavar="DIR",
+                    help="persistent XLA compilation cache directory")
     args = ap.parse_args(argv)
 
     from rama_tpu.utils.platform import force_platform
@@ -221,11 +233,20 @@ def main(argv=None):
                          args.batch, max_seq_len=args.max_seq_len,
                          paged=args.paged, page_size=args.page_size,
                          tp=args.tp, dp=args.dp, kv_quant=args.kv_quant,
-                         spec_tick=args.spec_tick)
+                         spec_tick=args.spec_tick,
+                         compile_cache=args.compile_cache)
     if not is_primary():
         # follower host: no HTTP frontend; replay the primary's device calls
+        # (including the primary's warmup dispatches, so every host compiles
+        # the same program grid before traffic)
         engine.follow()
         return
+    if args.warmup:
+        import sys as _sys
+
+        w = engine.warmup(max_prompt=args.warmup_max_prompt)
+        print(f"warmup: {w['programs']} programs in {w['seconds']:.1f}s",
+              file=_sys.stderr)
     engine.start()
     app = build_app(engine, default_steps=args.steps)
     host, _, port = args.address.rpartition(":")

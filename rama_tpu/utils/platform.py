@@ -20,6 +20,22 @@ def force_platform(platform: str | None) -> None:
     jax.config.update("jax_platforms", {"tpu": "axon,tpu,cpu"}.get(platform, platform))
 
 
+def enable_compile_cache(path: str) -> None:
+    """Point JAX's persistent compilation cache at `path` so every XLA
+    program (prefill buckets, decode ticks, Pallas kernels) compiles once
+    per machine instead of once per process — Engine.warmup() then reloads
+    from disk in milliseconds on every later server start."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", str(path))
+    for knob, val in (("jax_persistent_cache_min_compile_time_secs", 0.2),
+                      ("jax_persistent_cache_min_entry_size_bytes", 0)):
+        try:
+            jax.config.update(knob, val)
+        except Exception:  # noqa: BLE001 — knob names vary across jax versions
+            pass
+
+
 def cpu_devices(n: int) -> None:
     """Request n virtual CPU devices (call before any backend init)."""
     flags = os.environ.get("XLA_FLAGS", "")

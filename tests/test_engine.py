@@ -301,6 +301,42 @@ def test_burst_admission_prefills_in_one_dispatch(engine_setup):
     assert eng.phases.counts["prefill"] == 1
 
 
+def test_bucket_k_shapes():
+    """Weight-stream-bound regime (b*T small): k pads straight to the slot
+    count — one compiled shape per T bucket. Compute-bound regime: dp-aligned
+    powers of two."""
+    from rama_tpu.runtime.engine import _bucket_k
+
+    assert _bucket_k(1, 1, 8, 16) == 8
+    assert _bucket_k(3, 1, 8, 512) == 8          # 8*512 == 4096 boundary
+    assert _bucket_k(1, 1, 8, 1024) == 1         # compute-bound: 2^j >= n
+    assert _bucket_k(3, 1, 8, 1024) == 4
+    assert _bucket_k(3, 2, 8, 1024) == 4         # dp*2^j, divides dp
+    assert _bucket_k(1, 2, 8, 1024) == 2
+
+
+def test_warmup_precompiles_then_serves(engine_setup):
+    """Engine.warmup() runs every dispatchable program on dummy batches
+    before traffic; serving afterwards is still oracle-exact and admission
+    prefills hit only shapes the warmup covered (no new buckets)."""
+    cfg, np_params, params, tok, _ = engine_setup
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(max_batch_size=4, decode_tick=2))
+    w = eng.warmup()
+    # ticks (2, 1) + prefill T buckets 16/32/64 at k=4 (4*64 <= 4096)
+    assert w["programs"] == 5
+    eng.start()
+    try:
+        req = Request(prompt="abc", steps=8, temperature=0.0)
+        eng.submit(req)
+        got = collect(req)
+    finally:
+        eng.stop()
+    want_ids = oracle_chain(cfg, np_params, tok.encode("abc"), 8)
+    assert got == [tok.decode_token(i) for i in want_ids]
+    assert eng.metrics["engine_errors"] == 0
+
+
 def test_mid_stream_admission_breaks_chain_correctly(engine_setup):
     """Pipelined ticks: a request admitted while another is mid-stream (the
     chained-dispatch path must break for it) still yields oracle-exact

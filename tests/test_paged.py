@@ -297,3 +297,27 @@ def test_paged_q8_engine_with_tensor_parallelism(setup):
         finally:
             eng.stop()
     assert outs[1] == outs[2]
+
+
+def test_paged_engine_warmup_then_serves(setup):
+    """warmup() on a paged engine writes only the trash page; live serving
+    afterwards is unaffected."""
+    from rama_tpu.runtime.engine import Engine, Request
+    from tests.test_engine import collect, make_tokenizer
+
+    cfg, params = setup
+    tok = make_tokenizer(cfg.vocab_size)
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(max_batch_size=2, paged_kv=True,
+                              kv_page_size=16))
+    w = eng.warmup()
+    assert w["programs"] > 0
+    eng.start()
+    try:
+        req = Request(prompt="abc", steps=8, temperature=0.0)
+        eng.submit(req)
+        got = collect(req)
+    finally:
+        eng.stop()
+    assert len(got) == 8
+    assert eng.metrics["engine_errors"] == 0

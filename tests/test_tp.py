@@ -254,3 +254,56 @@ def test_engine_dp_rejects_bad_combos(setup):
     with pytest.raises(ValueError):
         Engine(cfg, params, tok,
                EngineConfig(max_batch_size=4, dp_size=2, paged_kv=True))
+
+
+def test_engine_tp_warmup_then_serves(setup):
+    """warmup() drives the shard_mapped tick/prefill builders; TP serving
+    afterwards still matches the single-device stream."""
+    from rama_tpu.config import EngineConfig
+    from rama_tpu.runtime.engine import Engine, Request
+    from tests.test_engine import collect, make_tokenizer
+
+    cfg, np_params, params = setup
+    tok = make_tokenizer(cfg.vocab_size)
+    outs = {}
+    for tp, warm in ((1, False), (2, True)):
+        eng = Engine(cfg, params, tok,
+                     EngineConfig(max_batch_size=2, tp_size=tp))
+        if warm:
+            assert eng.warmup()["programs"] > 0
+        eng.start()
+        try:
+            req = Request(prompt="abc", steps=6, temperature=0.0)
+            eng.submit(req)
+            outs[tp] = collect(req)
+        finally:
+            eng.stop()
+        assert eng.metrics["engine_errors"] == 0
+    assert outs[1] == outs[2]
+
+
+def test_tp_long_prompt_bucket_beyond_cache(setup):
+    """A prompt whose T bucket rounds past max_seq_len used to gather
+    out-of-range RoPE rows in the mesh prefill (jnp.take fill mode -> NaN
+    K/V rows that poisoned masked attention for the whole slot). The bucket
+    is now capped at the cache length and rope gathers clip."""
+    from rama_tpu.config import EngineConfig
+    from rama_tpu.runtime.engine import Engine, Request
+    from tests.test_engine import collect, make_tokenizer
+
+    cfg, np_params, params = setup
+    tok = make_tokenizer(cfg.vocab_size)
+    prompt = "abcdefghijklmnopqrstuvwxyz" * 2  # 52 ids -> truncated to 46
+    outs = {}
+    for tp in (1, 2):
+        eng = Engine(cfg, params, tok,
+                     EngineConfig(max_batch_size=2, tp_size=tp))
+        eng.start()
+        try:
+            req = Request(prompt=prompt, steps=4, temperature=0.0)
+            eng.submit(req)
+            outs[tp] = collect(req)
+        finally:
+            eng.stop()
+        assert eng.metrics["engine_errors"] == 0
+    assert outs[1] == outs[2]

@@ -48,6 +48,63 @@ def k4_v8(l_ref, xlo_ref, xhi_ref, q_ref, s_ref, o_ref, acc_ref, *, gs,
     B._finish(o_ref, acc_ref, out_dtype)
 
 
+def k4_v9(l_ref, xlo_ref, xhi_ref, q_ref, s_ref, o_ref, acc_ref, *, gs,
+          out_dtype):
+    """Floor-split unpack (TIMING emulation; assumes lo-BIASED storage:
+    byte = 16*hi_s + lo_u with lo_u = lo_s + 8 in [0,15], so the byte's
+    two's-complement value decomposes by floor division). One int8->f32
+    convert + mul + floor + fma (4 elementwise passes) vs the i32 route's
+    widen + 3 shifts + 2 converts (6). The lo bias folds into the
+    accumulator via the per-group sum of x (prefetched in a real kernel;
+    computed in-kernel here — (M, gs) sums are noise next to the weight
+    block)."""
+    B._start(acc_ref)
+    bf = q_ref[0].astype(jnp.float32)
+    bk2, bn = bf.shape
+    nb = bk2 // gs
+    hi = jnp.floor(bf * 0.0625)
+    lo = bf - 16.0 * hi
+    s = s_ref[0].reshape(nb, 2, bn)
+    acc = acc_ref[...]
+    for g in range(nb):
+        rows = slice(g * gs, (g + 1) * gs)
+        xlo = xlo_ref[g].astype(jnp.float32)
+        xhi = xhi_ref[g].astype(jnp.float32)
+        plo = jnp.dot(xlo, lo[rows], preferred_element_type=jnp.float32)
+        phi = jnp.dot(xhi, hi[rows], preferred_element_type=jnp.float32)
+        zlo = 8.0 * jnp.sum(xlo, axis=1, keepdims=True)
+        acc += (plo - zlo) * s[g, 0] + phi * s[g, 1]
+    acc_ref[...] = acc
+    B._finish(o_ref, acc_ref, out_dtype)
+
+
+def k4_v10(l_ref, xlo_ref, xhi_ref, q_ref, s_ref, o_ref, acc_ref, *, gs,
+           out_dtype):
+    """Three-dot floor unpack (TIMING emulation, lo-biased storage): never
+    materialize the lo plane — dot(xlo, lo) = dot(xlo, byte) -
+    16*dot(xlo, hi). Elementwise passes drop to 3 (convert, mul, floor);
+    the extra per-group (M, gs)x(gs, bn) dot rides the idle MXU at
+    decode M."""
+    B._start(acc_ref)
+    bf = q_ref[0].astype(jnp.float32)
+    bk2, bn = bf.shape
+    nb = bk2 // gs
+    hi = jnp.floor(bf * 0.0625)
+    s = s_ref[0].reshape(nb, 2, bn)
+    acc = acc_ref[...]
+    for g in range(nb):
+        rows = slice(g * gs, (g + 1) * gs)
+        xlo = xlo_ref[g].astype(jnp.float32)
+        xhi = xhi_ref[g].astype(jnp.float32)
+        pb = jnp.dot(xlo, bf[rows], preferred_element_type=jnp.float32)
+        plh = jnp.dot(xlo, hi[rows], preferred_element_type=jnp.float32)
+        phi = jnp.dot(xhi, hi[rows], preferred_element_type=jnp.float32)
+        zlo = 8.0 * jnp.sum(xlo, axis=1, keepdims=True)
+        acc += (pb - 16.0 * plh - zlo) * s[g, 0] + phi * s[g, 1]
+    acc_ref[...] = acc
+    B._finish(o_ref, acc_ref, out_dtype)
+
+
 def main():
     dev = jax.devices()[0]
     B.log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
@@ -67,6 +124,10 @@ def main():
             B.time_variant("v3", B.k4_v3, 4, qt, grouped_x=True,
                            block_k=bk, block_n=bn)
             B.time_variant("v8-zp", k4_v8, 4, qt, grouped_x=True,
+                           skip_check=True, block_k=bk, block_n=bn)
+            B.time_variant("v9-floor", k4_v9, 4, qt, grouped_x=True,
+                           skip_check=True, block_k=bk, block_n=bn)
+            B.time_variant("v10-3dot", k4_v10, 4, qt, grouped_x=True,
                            skip_check=True, block_k=bk, block_n=bn)
         del q, scales, qt
 

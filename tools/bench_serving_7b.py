@@ -61,6 +61,13 @@ def main():
         max_seq_len=args.max_seq_len, spec_tick=args.spec_tick,
         kv_quant=None if args.kv_quant == "none" else args.kv_quant)
     engine = Engine(cfg, params, tok, ecfg)
+    # precompile the full (k, T)-bucket/tick program grid before any traffic
+    # (the production path: `server.app --warmup`); without it, a cold
+    # prefill bucket compiling mid-round stalls every active stream
+    t0 = time.time()
+    w = engine.warmup(max_prompt=16)
+    print(f"engine warmup: {w['programs']} programs in {w['seconds']:.1f}s",
+          file=sys.stderr)
     engine.start()
     app = build_app(engine, default_steps=args.steps)
 
