@@ -101,9 +101,9 @@ class EngineConfig:
     # n-gram prompt lookup and verify the whole chunk in ONE batched forward
     # (one weight stream for up to spec_tick+1 emitted tokens per slot).
     # 0 = off (plain decode_tick scan). Composes with tensor/data
-    # parallelism, multi-host, and the int8 KV cache (tests/test_tp.py,
-    # tests/test_kv_quant.py); dense slots only — the ragged paged kernels
-    # have no chunk (T<=8) variant yet.
+    # parallelism, multi-host, the int8 KV cache, and the paged pool at
+    # tp=dp=1 (tests/test_tp.py, tests/test_kv_quant.py, tests/test_paged.py);
+    # a shard_mapped paged spec tick is the one missing combination.
     spec_tick: int = 0
 
     # Parallelism knobs: the engine builds a (dp_size, tp_size) device mesh.

@@ -183,6 +183,30 @@ def _spec_tick(params, cfg: ModelConfig, chunk, pos0, temps, top_ps,
     return samples, accept, cache
 
 
+@partial(jax.jit, static_argnames=("cfg", "k"), donate_argnames=("cache",))
+def _spec_tick_paged(params, cfg: ModelConfig, chunk, pos0, temps, top_ps,
+                     slot_keys, cache, page_tables, k: int):
+    """_spec_tick against the page pool: the chunk verifies through the
+    ragged paged chunk-attention kernel (runtime.paged.forward_paged's fused
+    T<=8 path), so speculative serving composes with paged_kv. Page tables
+    must cover pos0 + k (reserved by the host loop before dispatch);
+    rejected positions' pool rows hold garbage that is rewritten before any
+    query attends them (write-before-attend, same as the dense tick)."""
+    from rama_tpu.runtime.paged import forward_paged
+
+    b, t = chunk.shape
+    pos_index = pos0[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+    logits, cache = forward_paged(params, cfg, chunk, pos_index, cache,
+                                  page_tables)                     # (B,T,V)
+    samples = jnp.stack([
+        sample_batched_keyed(logits[:, j], fold_in_pos(slot_keys, pos0 + j),
+                             temps, top_ps)
+        for j in range(t)])                                        # (T, B)
+    ok = (chunk[:, 1:].T == samples[:k])                           # (k, B)
+    accept = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=0), axis=0)
+    return samples, accept, cache
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def _prefill_batch(params, cfg: ModelConfig, tokens, true_lens, temps, top_ps,
                    slot_keys):
@@ -276,9 +300,11 @@ class Engine:
         if self.kv_quant not in (None, "int8"):
             raise ValueError(f"unsupported kv_quant {self.kv_quant!r}")
         self.spec = self.ecfg.spec_tick
-        if self.spec and self.paged:
-            # the ragged paged kernels have no chunk (T<=8) variant yet
-            raise ValueError("spec_tick requires dense slots")
+        if self.spec and self.paged and self.use_mesh:
+            # spec+paged verifies through forward_paged's fused chunk path
+            # (single device); a shard_mapped paged spec tick is future work
+            raise ValueError("spec_tick composes with paged_kv only at "
+                             "tp_size=dp_size=1")
         if self.tp > 1:
             from rama_tpu.parallel.tp import validate_tp
 
@@ -877,6 +903,10 @@ class Engine:
         if self.spec and all(s.pos + self.spec + 1 <= self.max_len
                              for s in active):
             k = self.spec
+            # paged: grow tables to cover the chunk's last column before the
+            # table snapshot below (slots that cannot grow are finished and
+            # their rows land in the trash page)
+            self._reserve_tick_pages(pos, k + 1, finish_on_fail=True)
             drafts = np.zeros((b, k), np.int32)
             for i, s in enumerate(self.slots):
                 if not s.free:
@@ -1060,6 +1090,11 @@ class Engine:
             samples, accept, self.cache = self._tp_spec(
                 self.params, jnp.asarray(chunk), jnp.asarray(pos),
                 jnp.asarray(temps), jnp.asarray(tps), keys, self.cache)
+        elif self.paged:
+            samples, accept, self.cache = _spec_tick_paged(
+                self.params, self.cfg, jnp.asarray(chunk), jnp.asarray(pos),
+                jnp.asarray(temps), jnp.asarray(tps), keys, self.cache,
+                jnp.asarray(self.page_tables), k)
         else:
             samples, accept, self.cache = _spec_tick(
                 self.params, self.cfg, jnp.asarray(chunk), jnp.asarray(pos),

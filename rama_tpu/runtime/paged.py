@@ -204,6 +204,121 @@ def _forward_decode_fused_paged(params, cfg: ModelConfig, tokens: jax.Array,
     return logits, new_cache
 
 
+def _forward_chunk_fused_paged(params, cfg: ModelConfig, tokens: jax.Array,
+                               pos_index: jax.Array, cache: PagedKVCache,
+                               page_tables: jax.Array,
+                               tp_axis: str | None = None,
+                               _interpret: bool = False):
+    """Chunk forward (2 <= T <= 8, consecutive positions) against the page
+    pool — the paged speculative-verification path.
+
+    Same structure as llama._forward_chunk_fused (write the chunk's own K/V
+    rows, then attend in place), but the rows scatter through the page table
+    and attention reads the pool via the ragged paged CHUNK kernel — so
+    spec_tick composes with paged_kv without ever materializing a dense
+    view. Page tables must cover pos_index's last column (the host loop
+    reserves pages before dispatch, engine._reserve_tick_pages)."""
+    from rama_tpu.models.llama import (_linear_layered, apply_rope,
+                                       kv_quant_rows, split_h13)
+    from rama_tpu.ops.pallas.paged_attention import (
+        paged_chunk_attention_layer, paged_chunk_attention_layer_q8)
+
+    kv_quant = isinstance(cache, QuantPagedKVCache)
+    b, t = tokens.shape
+    dtype = params["final_norm"].dtype
+    x = _embed(params["tok_embedding"], tokens, dtype)           # (B, T, D)
+    cos = jnp.take(params["rope_cos"], pos_index, axis=0, mode="clip")
+    sin = jnp.take(params["rope_sin"], pos_index, axis=0, mode="clip")
+    pos0 = pos_index[:, 0]                                       # (B,)
+    hd = cfg.head_dim
+    ps = cache.page_size
+    fused = "wqkv" in params
+    tables = jnp.maximum(page_tables, 0)
+    mp = tables.shape[1]
+    # per-(slot, column) write targets; clip keeps speculative overshoot
+    # inside the slot's own pages (same argument as the decode path)
+    write_page = jnp.take_along_axis(
+        tables, jnp.minimum(pos_index // ps, mp - 1), axis=1)    # (B, T)
+    write_off = pos_index % ps
+
+    def body(carry, l):
+        x, pools = carry
+        k_pool, v_pool = pools[0], pools[1]
+        nkv_local = k_pool.shape[2]
+
+        xb = rmsnorm(x, jnp.take(params["attn_norm"], l, axis=0), cfg.norm_eps)
+        if fused:
+            heads_total = cfg.n_heads + 2 * cfg.n_kv_heads
+            heads_local = params["wqkv"].shape[-1] // hd
+            nh = heads_local * cfg.n_heads // heads_total
+            nkv = heads_local * cfg.n_kv_heads // heads_total
+            qkv = _linear_layered(xb, params["wqkv"], l)
+            q = qkv[..., : nh * hd].reshape(b, t, nh, hd)
+            k = qkv[..., nh * hd : (nh + nkv) * hd].reshape(b, t, nkv, hd)
+            v = qkv[..., (nh + nkv) * hd :].reshape(b, t, nkv, hd)
+        else:
+            nh = params["wq"].shape[-1] // hd
+            nkv = params["wk"].shape[-1] // hd
+            q = _linear_layered(xb, params["wq"], l).reshape(b, t, nh, hd)
+            k = _linear_layered(xb, params["wk"], l).reshape(b, t, nkv, hd)
+            v = _linear_layered(xb, params["wv"], l).reshape(b, t, nkv, hd)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        pg = write_page[:, :, None]                   # (B, T, 1)
+        hi = jnp.arange(nkv_local)[None, None, :]     # (1, 1, nkv)
+        off = write_off[:, :, None]
+        if kv_quant:
+            ks_pool, vs_pool = pools[2], pools[3]
+            kq, ksc = kv_quant_rows(k)                # (B,T,nkv,hd), (B,T,nkv)
+            vq, vsc = kv_quant_rows(v)
+            k_pool = k_pool.at[l, pg, hi, off].set(kq)
+            v_pool = v_pool.at[l, pg, hi, off].set(vq)
+            ks_pool = ks_pool.at[l, pg, hi, off].set(ksc)
+            vs_pool = vs_pool.at[l, pg, hi, off].set(vsc)
+            pools_out = (k_pool, v_pool, ks_pool, vs_pool)
+            att = paged_chunk_attention_layer_q8(
+                q, k_pool, v_pool, ks_pool, vs_pool, pos0, tables, l,
+                interpret=_interpret)
+        else:
+            k_pool = k_pool.at[l, pg, hi, off].set(k.astype(k_pool.dtype))
+            v_pool = v_pool.at[l, pg, hi, off].set(v.astype(v_pool.dtype))
+            pools_out = (k_pool, v_pool)
+            att = paged_chunk_attention_layer(q, k_pool, v_pool, pos0,
+                                              tables, l, interpret=_interpret)
+        attn_out = _linear_layered(att, params["wo"], l)          # (B, T, D)
+        if tp_axis is not None:
+            attn_out = jax.lax.psum(attn_out, tp_axis)
+        x = x + attn_out
+
+        xb = rmsnorm(x, jnp.take(params["ffn_norm"], l, axis=0), cfg.norm_eps)
+        if fused:
+            h13 = _linear_layered(xb, params["w13"], l)
+            h1, h3 = split_h13(h13, params["w13"])
+        else:
+            h1 = _linear_layered(xb, params["w1"], l)
+            h3 = _linear_layered(xb, params["w3"], l)
+        ffn_out = _linear_layered(jax.nn.silu(h1) * h3, params["w2"], l)
+        if tp_axis is not None:
+            ffn_out = jax.lax.psum(ffn_out, tp_axis)
+        x = x + ffn_out
+        return (x, pools_out), None
+
+    pools0 = ((cache.k, cache.v, cache.ks, cache.vs) if kv_quant
+              else (cache.k, cache.v))
+    (x, pools), _ = jax.lax.scan(
+        body, (x, pools0), jnp.arange(cfg.n_layers, dtype=jnp.int32))
+
+    x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
+    logits = _linear(x, params["wcls"]).astype(jnp.float32)
+    if tp_axis is not None:
+        logits = jax.lax.all_gather(logits, tp_axis, axis=logits.ndim - 1,
+                                    tiled=True)
+    new_cache = (QuantPagedKVCache(*pools) if kv_quant
+                 else PagedKVCache(*pools))
+    return logits, new_cache
+
+
 def forward_paged(params, cfg: ModelConfig, tokens: jax.Array,
                   pos_index: jax.Array, cache: PagedKVCache,
                   page_tables: jax.Array, tp_axis: str | None = None):
@@ -212,12 +327,22 @@ def forward_paged(params, cfg: ModelConfig, tokens: jax.Array,
     page_tables: (B, max_pages) int32 page ids (unused entries may hold any
     valid id — their positions are masked). Visibility: position s of slot b
     is attended iff s <= pos_index[b, t]. Returns (logits, new cache).
+
+    On TPU, 1 <= T <= 8 takes the fused in-place path, which requires each
+    slot's columns to be CONSECUTIVE positions (pos_index[b] = pos0[b] +
+    arange(T) — true for every engine call site); the generic gather path
+    handles arbitrary pos_index.
     """
     b, t = tokens.shape
     if (t == 1 and jax.default_backend() == "tpu"
             and _paged_fused_supported(cfg, cache.page_size)):
         return _forward_decode_fused_paged(params, cfg, tokens, pos_index,
                                            cache, page_tables, tp_axis)
+    if (2 <= t <= 8 and jax.default_backend() == "tpu"
+            and _paged_fused_supported(cfg, cache.page_size)):
+        # chunk columns must be consecutive per slot for the fused path
+        return _forward_chunk_fused_paged(params, cfg, tokens, pos_index,
+                                          cache, page_tables, tp_axis)
     ps = cache.page_size
     max_pages = page_tables.shape[1]
     s_max = max_pages * ps

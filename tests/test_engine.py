@@ -228,10 +228,12 @@ def test_spec_tick_matches_oracle(engine_setup):
 
 
 def test_spec_tick_rejects_bad_combos(engine_setup):
-    # paged chunk attention does not exist yet; tp>1 composes (test_tp)
+    # spec+paged composes at tp=dp=1 (test_paged); the shard_mapped paged
+    # spec tick is the one missing combination
     cfg, np_params, params, tok, ecfg = engine_setup
     with pytest.raises(ValueError):
-        Engine(cfg, params, tok, EngineConfig(spec_tick=2, paged_kv=True))
+        Engine(cfg, params, tok, EngineConfig(spec_tick=2, paged_kv=True,
+                                              tp_size=2))
 
 
 def test_spec_tick_with_kv_quant_matches_plain(engine_setup):

@@ -321,3 +321,118 @@ def test_paged_engine_warmup_then_serves(setup):
         eng.stop()
     assert len(got) == 8
     assert eng.metrics["engine_errors"] == 0
+
+
+@pytest.mark.parametrize("t", [2, 4])
+def test_paged_chunk_attention_kernel_matches_gather(t):
+    """Ragged paged CHUNK attention (interpret) vs gather-then-attention:
+    consecutive per-slot queries, non-contiguous tables, chunks that cross
+    page boundaries."""
+    from rama_tpu.models.llama import _attention
+    from rama_tpu.ops.pallas.paged_attention import paged_chunk_attention_layer
+
+    L, P, nkv, ps, hd = 2, 9, 2, 16, 128
+    b, rep = 2, 2
+    nh = nkv * rep
+    mp = 3
+    key = jax.random.PRNGKey(11)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, t, nh, hd), jnp.float32)
+    k_pool = jax.random.normal(kk, (L, P, nkv, ps, hd), jnp.float32)
+    v_pool = jax.random.normal(kv, (L, P, nkv, ps, hd), jnp.float32)
+    tables = jnp.asarray([[4, 1, 7], [2, 5, 0]], jnp.int32)
+    pos0 = jnp.asarray([15, 5], jnp.int32)  # slot0's chunk crosses a page
+
+    for layer in range(L):
+        got = paged_chunk_attention_layer(q, k_pool, v_pool, pos0, tables,
+                                          jnp.int32(layer), interpret=True)
+        view = lambda pool: (jnp.take(pool[layer], tables, axis=0)
+                             .transpose(0, 2, 1, 3, 4)
+                             .reshape(b, nkv, mp * ps, hd))
+        pidx = pos0[:, None] + jnp.arange(t)[None, :]          # (b, t)
+        mask = jnp.arange(mp * ps)[None, None, :] <= pidx[:, :, None]
+        want = _attention(q, view(k_pool), view(v_pool), mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"layer {layer}")
+
+
+@pytest.mark.parametrize("t", [3])
+def test_paged_chunk_q8_kernel_matches_dequant(t):
+    """INT8-pool ragged paged chunk attention (interpret) vs
+    dequantize-gather-attend."""
+    from rama_tpu.models.llama import _attention, _dequant_kv, kv_quant_rows
+    from rama_tpu.ops.pallas.paged_attention import (
+        paged_chunk_attention_layer_q8)
+
+    L, P, nkv, ps, hd = 2, 9, 2, 16, 128
+    b, rep = 2, 2
+    nh = nkv * rep
+    mp = 3
+    rng = np.random.default_rng(13)
+    q = jnp.asarray(rng.standard_normal((b, t, nh, hd)).astype(np.float32))
+    k_pool, ks_pool = kv_quant_rows(jnp.asarray(
+        rng.standard_normal((L, P, nkv, ps, hd)).astype(np.float32)))
+    v_pool, vs_pool = kv_quant_rows(jnp.asarray(
+        rng.standard_normal((L, P, nkv, ps, hd)).astype(np.float32)))
+    tables = jnp.asarray([[4, 1, 7], [2, 5, 0]], jnp.int32)
+    pos0 = jnp.asarray([14, 30], jnp.int32)  # both chunks cross pages
+
+    for layer in range(L):
+        got = paged_chunk_attention_layer_q8(
+            q, k_pool, v_pool, ks_pool, vs_pool, pos0, tables,
+            jnp.int32(layer), interpret=True)
+        kd, vd = _dequant_kv(k_pool[layer], v_pool[layer],
+                             ks_pool[layer], vs_pool[layer], jnp.float32)
+        view = lambda pool: (jnp.take(pool, tables, axis=0)
+                             .transpose(0, 2, 1, 3, 4)
+                             .reshape(b, nkv, mp * ps, hd))
+        pidx = pos0[:, None] + jnp.arange(t)[None, :]
+        mask = jnp.arange(mp * ps)[None, None, :] <= pidx[:, :, None]
+        want = _attention(q, view(kd), view(vd), mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=5e-2, atol=5e-2,
+                                   err_msg=f"layer {layer}")
+
+
+@pytest.mark.parametrize("temperature", [0.0, 0.9])
+def test_spec_tick_composes_with_paged(setup, temperature):
+    """Speculative serving over the page pool: spec_tick is a pure latency
+    knob, so the paged spec engine's stream is IDENTICAL to the plain paged
+    engine's at any temperature (position-keyed sampling)."""
+    from rama_tpu.runtime.engine import Engine, Request
+    from tests.test_engine import collect, make_tokenizer
+
+    cfg, params = setup
+    tok = make_tokenizer(cfg.vocab_size)
+    outs = {}
+    for name, spec in (("plain", 0), ("spec", 3)):
+        eng = Engine(cfg, params, tok,
+                     EngineConfig(max_batch_size=2, paged_kv=True,
+                                  kv_page_size=16, spec_tick=spec))
+        eng.start()
+        try:
+            reqs = [Request(prompt=p, steps=12, temperature=temperature)
+                    for p in ("abab", "zq")]
+            for r in reqs:
+                eng.submit(r)
+            outs[name] = [collect(r) for r in reqs]
+        finally:
+            eng.stop()
+        assert eng.metrics["engine_errors"] == 0
+    assert outs["plain"] == outs["spec"]
+
+
+def test_spec_tick_paged_rejects_mesh():
+    """spec+paged is single-device for now; the engine must say so."""
+    from rama_tpu.models.llama import load_params
+    from rama_tpu.runtime.engine import Engine
+    from rama_tpu.testing.ref_model import random_params, tiny_config
+    from tests.test_engine import make_tokenizer
+
+    cfg = tiny_config()
+    params = load_params(cfg, random_params(cfg, seed=5), dtype=jnp.float32)
+    with pytest.raises(ValueError, match="tp_size"):
+        Engine(cfg, params, make_tokenizer(cfg.vocab_size),
+               EngineConfig(max_batch_size=2, paged_kv=True, spec_tick=2,
+                            tp_size=2))
