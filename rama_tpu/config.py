@@ -100,16 +100,18 @@ class EngineConfig:
     # Speculative serving: draft this many tokens per engine tick by per-slot
     # n-gram prompt lookup and verify the whole chunk in ONE batched forward
     # (one weight stream for up to spec_tick+1 emitted tokens per slot).
-    # 0 = off (plain decode_tick scan). Composes with tensor/data
-    # parallelism, multi-host, the int8 KV cache, and the paged pool at
-    # tp=dp=1 (tests/test_tp.py, tests/test_kv_quant.py, tests/test_paged.py);
-    # a shard_mapped paged spec tick is the one missing combination.
+    # 0 = off (plain decode_tick scan). Composes with every other feature:
+    # tensor/data parallelism, multi-host, the int8 KV cache, and the paged
+    # pool — including paged x mesh via the shard_mapped paged spec tick
+    # (tests/test_tp.py, tests/test_kv_quant.py, tests/test_paged.py).
     spec_tick: int = 0
 
     # Parallelism knobs: the engine builds a (dp_size, tp_size) device mesh.
     # tp shards weights and KV heads over `model` (Megatron layout); dp
-    # shards the slot batch over `data` (dp_size must divide max_batch_size;
-    # dense slots only — the paged pool is not data-sharded yet).
+    # shards the slot batch over `data` (dp_size must divide max_batch_size).
+    # The paged pool shards its page dimension over `data` too: each replica
+    # owns a private sub-pool with its own allocator (kv_num_pages, when
+    # set, must be divisible by dp_size).
     tp_size: int = 1
     dp_size: int = 1
 

@@ -470,6 +470,33 @@ def _group_x_planes(x: jax.Array, gs: int):
             xhi.reshape(m, nbt, gs).transpose(1, 0, 2))
 
 
+def _bound_tile_vmem(bm: int, bk: int, bn: int, n: int, gs: int,
+                     w_row_bytes: float,
+                     limit: int = 11 * 1024 * 1024) -> tuple[int, int]:
+    """Shrink (bn, then bm) until the kernel's estimated VMEM footprint fits
+    the 16 MB scoped-vmem budget: x block (bm, bk) bf16 plus double-buffered
+    w (bk x bn x w_row_bytes) and scales ((bk//gs, bn) f32) blocks, f32
+    accumulator and out tile. The limit is well under 16 MB because Mosaic's
+    actual buffering exceeds this model (measured: (128, 11008, 512) int8
+    estimates 15.2M, Mosaic allocates 17.06M). Matters when K has no legal
+    divisor tile and bk falls back to full K (e.g. 11008 through w2): the
+    serving warmup's (k=8, T=32) prefill bucket OOMed scoped vmem there at
+    the old fixed (256, 512) tile."""
+    def est(bm, bn):
+        return (bm * bk * 2
+                + 2 * (int(bk * bn * w_row_bytes) + (bk // gs) * bn * 4)
+                + bm * bn * 6)
+
+    while est(bm, bn) > limit:
+        if bn > 128:
+            bn = _pick_block(n, bn // 2, 128)
+        elif bm > 8:
+            bm //= 2
+        else:
+            break
+    return bm, bn
+
+
 @partial(jax.jit, static_argnames=("block_m", "block_k", "block_n", "interpret"))
 def quant_matmul(x: jax.Array, qt: QuantizedTensor, *, block_m: int = 256,
                  block_k: int = 1024, block_n: int = 512,
@@ -483,7 +510,8 @@ def quant_matmul(x: jax.Array, qt: QuantizedTensor, *, block_m: int = 256,
 
     bk = _pick_k_block(k, block_k, gs, srm=srm)
     bn = _pick_block(n, block_n, 128)
-    bm = min(m, block_m)
+    bm, bn = _bound_tile_vmem(min(m, block_m), bk, bn, n, gs,
+                              w_row_bytes=0.5 if qt.bits == 4 else 1.0)
     if m % bm:  # pad M up to a tile
         pad = bm - m % bm
         x = jnp.pad(x, ((0, pad), (0, 0)))
@@ -584,7 +612,12 @@ def quant_matmul(x: jax.Array, qt: QuantizedTensor, *, block_m: int = 256,
         if bn is None:
             from rama_tpu.ops.quant import matmul_xla
             return matmul_xla(x[:m], qt, dtype=x.dtype)
-        # bn may have shrunk since `common` was built
+        # this branch's bk differs from the one bm was bounded with; re-bound
+        # (bm shrinks only if the smaller tile still divides the padded M)
+        bm2, bn = _bound_tile_vmem(bm, bk, bn, n, gs, w_row_bytes=0.5)
+        if bm2 != bm and mp % bm2 == 0:
+            bm = bm2
+        # bm/bn may have shrunk since `common` was built
         common["out_specs"] = pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j))
         common["scratch_shapes"] = [pltpu.VMEM((bm, bn), jnp.float32)]
         grid = (mp // bm, n // bn, k // bk)

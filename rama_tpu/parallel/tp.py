@@ -267,15 +267,18 @@ def make_spec_tick(cfg: ModelConfig, mesh: Mesh, params_example,
 
 
 def paged_cache_spec(kv_quant: bool = False):
-    """Page pool (L, P, n_kv, ps, hd): KV heads shard over `model`, the page
-    dimension is shared (one pool, every chip holds its head-slice of every
-    page). Page tables are host bookkeeping and stay replicated. With an int8
-    pool the per-row scales (L, P, n_kv, ps) shard with their rows."""
+    """Page pool (L, P, n_kv, ps, hd): KV heads shard over `model`, pages
+    shard over `data` — each data replica owns a private sub-pool and its
+    page-table entries are LOCAL page indices into that sub-pool (the engine
+    runs one allocator per replica). At dp=1 this degenerates to one shared
+    pool, identical to the round-3 layout. Page tables shard with the slot
+    batch over `data`. With an int8 pool the per-row scales (L, P, n_kv, ps)
+    shard with their rows."""
     from rama_tpu.runtime.paged import PagedKVCache, QuantPagedKVCache
 
-    s = P(None, None, MODEL_AXIS, None, None)
+    s = P(None, DATA_AXIS, MODEL_AXIS, None, None)
     if kv_quant:
-        sc = P(None, None, MODEL_AXIS, None)
+        sc = P(None, DATA_AXIS, MODEL_AXIS, None)
         return QuantPagedKVCache(k=s, v=s, ks=sc, vs=sc)
     return PagedKVCache(k=s, v=s)
 
@@ -333,23 +336,78 @@ def make_paged_decode_tick(cfg: ModelConfig, mesh: Mesh, params_example,
     return tick
 
 
+def make_paged_spec_tick(cfg: ModelConfig, mesh: Mesh, params_example,
+                         kv_quant: bool = False):
+    """TP+DP speculative tick against the page pool: verify k host-drafted
+    tokens per slot in ONE shard_mapped paged chunk forward (the mesh
+    counterpart of runtime.engine._spec_tick_paged — closes the last
+    spec x paged x mesh composition cell, VERDICT r3 item 4a).
+
+    Returns spec(params, chunk (B, k+1), pos0 (B,), temps, top_ps,
+    slot_keys (B, 2), cache, page_tables (B, max_pages))
+    -> (samples (k+1, B), accept (B,), cache). Page tables must cover
+    pos0 + k (reserved by the host loop before dispatch)."""
+    pspecs = param_specs(params_example)
+    cspec = paged_cache_spec(kv_quant)
+
+    def inner(params, chunk, pos0, cache, tables):
+        from rama_tpu.runtime.paged import forward_paged
+
+        t = chunk.shape[1]
+        pos_index = pos0[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+        return forward_paged(params, cfg, chunk, pos_index, cache, tables,
+                             tp_axis=MODEL_AXIS)
+
+    mapped = jax.shard_map(
+        inner, mesh=mesh,
+        in_specs=(pspecs, P(DATA_AXIS, None), P(DATA_AXIS), cspec,
+                  P(DATA_AXIS, None)),
+        out_specs=(P(DATA_AXIS, None, None), cspec),
+        check_vma=False)
+
+    @partial(jax.jit, donate_argnames=("cache",))
+    def spec(params, chunk, pos0, temps, top_ps, slot_keys, cache, tables):
+        t = chunk.shape[1]
+        logits, cache = mapped(params, chunk, pos0, cache, tables)  # (B,T,V)
+        samples = jnp.stack([
+            sample_batched_keyed(logits[:, j],
+                                 fold_in_pos(slot_keys, pos0 + j),
+                                 temps, top_ps)
+            for j in range(t)])                              # (T, B)
+        ok = (chunk[:, 1:].T == samples[: t - 1])            # (k, B)
+        accept = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=0), axis=0)
+        return samples, accept, cache
+
+    return spec
+
+
 def make_paged_insert(cfg: ModelConfig, mesh: Mesh, kv_quant: bool = False):
-    """TP prefill insert: scatter a KV-head-sharded (L, kv, T, hd) strip into
-    one slot's pages of the sharded pool (quantizing rows when the pool is
-    int8 — shard-local, scales follow their rows)."""
+    """TP+DP prefill insert: scatter a KV-head-sharded (L, kv, T, hd) strip
+    into one slot's pages of the sharded pool (quantizing rows when the pool
+    is int8 — shard-local, scales follow their rows).
+
+    rows: (dp, max_pages) int32, one LOCAL page-table row per data replica —
+    the owning replica's row for the admitted slot, every other replica's
+    row all trash-page, so the (replicated-over-data) strip lands in the
+    owner's pages and harmlessly in everyone else's trash page. This is how
+    a single slot's insert composes with a data-sharded pool without any
+    cross-replica collective."""
     from rama_tpu.runtime.paged import _insert_prefill_paged_impl
 
     cspec = paged_cache_spec(kv_quant)
     strip = P(None, MODEL_AXIS, None, None)
 
+    def inner(cache, k_strip, v_strip, rows):
+        return _insert_prefill_paged_impl(cache, k_strip, v_strip, rows[0])
+
     mapped = jax.shard_map(
-        _insert_prefill_paged_impl, mesh=mesh,
-        in_specs=(cspec, strip, strip, P(None)),
+        inner, mesh=mesh,
+        in_specs=(cspec, strip, strip, P(DATA_AXIS, None)),
         out_specs=cspec, check_vma=False)
 
     @partial(jax.jit, donate_argnames=("cache",))
-    def insert(cache, k_strip, v_strip, page_table_row):
-        return mapped(cache, k_strip, v_strip, page_table_row)
+    def insert(cache, k_strip, v_strip, rows):
+        return mapped(cache, k_strip, v_strip, rows)
 
     return insert
 

@@ -93,6 +93,12 @@ def build_app(engine: Engine, default_steps: int = 255) -> web.Application:
             "Connection": "keep-alive",
         })
         await resp.prepare(request)
+        if req.truncated:
+            # SSE comment: visible to curious clients, ignored by
+            # EventSource — the prompt was cut to fit the cache
+            await resp.write(
+                f": prompt truncated ({req.truncated} tokens dropped "
+                f"to fit max_seq_len)\n\n".encode())
         loop = asyncio.get_running_loop()
         try:
             while True:

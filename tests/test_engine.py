@@ -227,13 +227,10 @@ def test_spec_tick_matches_oracle(engine_setup):
         eng.stop()
 
 
-def test_spec_tick_rejects_bad_combos(engine_setup):
-    # spec+paged composes at tp=dp=1 (test_paged); the shard_mapped paged
-    # spec tick is the one missing combination
+def test_engine_rejects_bad_kv_quant(engine_setup):
     cfg, np_params, params, tok, ecfg = engine_setup
-    with pytest.raises(ValueError):
-        Engine(cfg, params, tok, EngineConfig(spec_tick=2, paged_kv=True,
-                                              tp_size=2))
+    with pytest.raises(ValueError, match="kv_quant"):
+        Engine(cfg, params, tok, EngineConfig(kv_quant="int3"))
 
 
 def test_spec_tick_with_kv_quant_matches_plain(engine_setup):

@@ -423,16 +423,69 @@ def test_spec_tick_composes_with_paged(setup, temperature):
     assert outs["plain"] == outs["spec"]
 
 
-def test_spec_tick_paged_rejects_mesh():
-    """spec+paged is single-device for now; the engine must say so."""
-    from rama_tpu.models.llama import load_params
+def test_spec_tick_paged_composes_with_mesh(setup):
+    """spec x paged x tensor-parallel (the last spec composition cell,
+    VERDICT r3 item 4a): the shard_mapped paged spec tick emits the exact
+    stream of the plain paged TP engine."""
+    from rama_tpu.runtime.engine import Engine, Request
+    from tests.test_engine import collect, make_tokenizer
+
+    cfg, params = setup
+    tok = make_tokenizer(cfg.vocab_size)
+    outs = {}
+    for name, spec in (("plain", 0), ("spec", 3)):
+        eng = Engine(cfg, params, tok,
+                     EngineConfig(max_batch_size=2, paged_kv=True,
+                                  kv_page_size=16, spec_tick=spec, tp_size=2))
+        eng.start()
+        try:
+            reqs = [Request(prompt=p, steps=12, temperature=0.7)
+                    for p in ("abab", "zq")]
+            for r in reqs:
+                eng.submit(r)
+            outs[name] = [collect(r) for r in reqs]
+        finally:
+            eng.stop()
+        assert eng.metrics["engine_errors"] == 0
+    assert outs["plain"] == outs["spec"]
+
+
+@pytest.mark.parametrize("dp,tp", [(2, 1), (2, 2)])
+def test_paged_engine_with_data_parallelism(setup, dp, tp):
+    """paged x dp (the other round-3 composition hole, VERDICT r3 item 4b):
+    the page pool shards over `data` — per-replica sub-pools, per-replica
+    allocators, local page indices — and the served streams are identical
+    to the unsharded paged engine's."""
+    from rama_tpu.runtime.engine import Engine, Request
+    from tests.test_engine import collect, make_tokenizer
+
+    cfg, params = setup
+    tok = make_tokenizer(cfg.vocab_size)
+    outs = {}
+    for name, (d, t) in (("single", (1, 1)), ("mesh", (dp, tp))):
+        eng = Engine(cfg, params, tok,
+                     EngineConfig(max_batch_size=2, paged_kv=True,
+                                  kv_page_size=16, dp_size=d, tp_size=t))
+        eng.start()
+        try:
+            reqs = [Request(prompt=p, steps=10, temperature=0.0)
+                    for p in ("abc", "zq")]
+            for r in reqs:
+                eng.submit(r)
+            outs[name] = [collect(r) for r in reqs]
+        finally:
+            eng.stop()
+        assert eng.metrics["engine_errors"] == 0
+    assert outs["single"] == outs["mesh"]
+
+
+def test_paged_dp_rejects_bad_page_count(setup):
+    """kv_num_pages must split evenly into per-replica sub-pools."""
     from rama_tpu.runtime.engine import Engine
-    from rama_tpu.testing.ref_model import random_params, tiny_config
     from tests.test_engine import make_tokenizer
 
-    cfg = tiny_config()
-    params = load_params(cfg, random_params(cfg, seed=5), dtype=jnp.float32)
-    with pytest.raises(ValueError, match="tp_size"):
+    cfg, params = setup
+    with pytest.raises(ValueError, match="kv_num_pages"):
         Engine(cfg, params, make_tokenizer(cfg.vocab_size),
-               EngineConfig(max_batch_size=2, paged_kv=True, spec_tick=2,
-                            tp_size=2))
+               EngineConfig(max_batch_size=2, paged_kv=True, kv_page_size=16,
+                            kv_num_pages=7, dp_size=2))

@@ -251,9 +251,6 @@ def test_engine_dp_rejects_bad_combos(setup):
     tok = make_tokenizer(cfg.vocab_size)
     with pytest.raises(ValueError):
         Engine(cfg, params, tok, EngineConfig(max_batch_size=3, dp_size=2))
-    with pytest.raises(ValueError):
-        Engine(cfg, params, tok,
-               EngineConfig(max_batch_size=4, dp_size=2, paged_kv=True))
 
 
 def test_engine_tp_warmup_then_serves(setup):
