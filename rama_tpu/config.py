@@ -97,14 +97,22 @@ class EngineConfig:
     # tests/test_kv_quant.py).
     kv_quant: str | None = None
 
-    # Speculative serving: draft this many tokens per engine tick by per-slot
-    # n-gram prompt lookup and verify the whole chunk in ONE batched forward
-    # (one weight stream for up to spec_tick+1 emitted tokens per slot).
-    # 0 = off (plain decode_tick scan). Composes with every other feature:
-    # tensor/data parallelism, multi-host, the int8 KV cache, and the paged
-    # pool — including paged x mesh via the shard_mapped paged spec tick
-    # (tests/test_tp.py, tests/test_kv_quant.py, tests/test_paged.py).
+    # Speculative serving: draft this many tokens per verification round by
+    # per-slot n-gram prompt lookup and verify the whole chunk in ONE batched
+    # chunk forward (one weight stream for up to spec_tick+1 emitted tokens
+    # per slot). 0 = off (plain decode_tick scan). Composes with every other
+    # feature: tensor/data parallelism, multi-host, the int8 KV cache, and
+    # the paged pool — including paged x mesh via the shard_mapped paged spec
+    # tick (tests/test_tp.py, tests/test_kv_quant.py, tests/test_paged.py).
     spec_tick: int = 0
+    # Speculative rounds per device dispatch: drafting runs ON-DEVICE (the
+    # vmapped n-gram proposer over a per-slot history matrix), so one
+    # dispatch scans spec_rounds draft->verify->accept rounds and the fixed
+    # host round-trip (~25 ms over a remote-TPU tunnel) amortizes over all
+    # of them — the spec analogue of decode_tick. Clamped to powers of two;
+    # shrunk near token budgets and the cache end (m=0 falls back to the
+    # plain tick). Only read when spec_tick > 0.
+    spec_rounds: int = 4
 
     # Parallelism knobs: the engine builds a (dp_size, tp_size) device mesh.
     # tp shards weights and KV heads over `model` (Megatron layout); dp

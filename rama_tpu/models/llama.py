@@ -849,7 +849,7 @@ def forward_chunk(params: Params, cfg: ModelConfig, tokens: jax.Array,
                   tp_axis: str | None = None):
     """Forward a (B, T) chunk of CONSECUTIVE tokens per slot: column j of
     slot b sits at position pos0[b] + j. The speculative-verification entry
-    point (runtime.engine._spec_tick, runtime.speculative): on TPU with
+    point (runtime.engine._spec_scan_tick, runtime.speculative): on TPU with
     2 <= T <= 8 it takes the fused carry-cache path, otherwise the generic
     forward. Returns (logits (B, T, V) fp32, new cache)."""
     b, t = tokens.shape

@@ -223,19 +223,20 @@ def make_decode_tick(cfg: ModelConfig, mesh: Mesh, params_example,
     return tick
 
 
-def make_spec_tick(cfg: ModelConfig, mesh: Mesh, params_example,
-                   kv_quant: bool = False):
-    """TP+DP speculative tick: verify k host-drafted tokens per slot in ONE
-    shard_mapped chunk forward (the TP counterpart of
-    runtime.engine._spec_tick — same sample-then-compare acceptance, same
-    position-keyed sampling, so spec_tick stays a pure latency knob under
-    tensor parallelism).
+def make_spec_scan_tick(cfg: ModelConfig, mesh: Mesh, params_example, k: int,
+                        kv_quant: bool = False):
+    """TP+DP speculative scan tick: m on-device draft->verify->accept rounds
+    per dispatch (the mesh counterpart of runtime.engine._spec_scan_tick).
+    The chunk forward is shard_mapped (weights/KV heads over `model`, slots
+    over `data`); drafting (vmapped n-gram over the history matrix),
+    sampling, and acceptance run in the outer jit under GSPMD — per-slot
+    elementwise work that shards trivially with the batch.
 
-    Returns spec(params, chunk (B, k+1), pos0 (B,), temps, top_ps,
-    slot_keys (B, 2), cache) -> (samples (k+1, B), accept (B,), cache).
-    k is static per chunk shape.
-    """
+    Returns spec(params, tokens (B,), pos (B,), temps, top_ps,
+    slot_keys (B, 2), cache, hist (B, cap), m=) ->
+    (samples (m, k+1, B), accepts (m, B), cache, hist)."""
     from rama_tpu.models.llama import forward_chunk
+    from rama_tpu.runtime.engine import _spec_round
 
     pspecs = param_specs(params_example)
     cspec = _cache_spec_for(kv_quant)
@@ -250,18 +251,20 @@ def make_spec_tick(cfg: ModelConfig, mesh: Mesh, params_example,
         out_specs=(P(DATA_AXIS, None, None), cspec),
         check_vma=False)
 
-    @partial(jax.jit, donate_argnames=("cache",))
-    def spec(params, chunk, pos0, temps, top_ps, slot_keys, cache):
-        t = chunk.shape[1]
-        logits, cache = mapped(params, chunk, pos0, cache)   # (B, T, V)
-        samples = jnp.stack([
-            sample_batched_keyed(logits[:, j],
-                                 fold_in_pos(slot_keys, pos0 + j),
-                                 temps, top_ps)
-            for j in range(t)])                              # (T, B)
-        ok = (chunk[:, 1:].T == samples[: t - 1])            # (k, B)
-        accept = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=0), axis=0)
-        return samples, accept, cache
+    def fwd(params, _cfg, chunk, pos0, cache):
+        return mapped(params, chunk, pos0, cache)
+
+    @partial(jax.jit, static_argnames=("m",),
+             donate_argnames=("cache", "hist"))
+    def spec(params, tokens, pos, temps, top_ps, slot_keys, cache, hist,
+             m=1):
+        def body(carry, _):
+            return _spec_round(params, cfg, carry, temps, top_ps, slot_keys,
+                               k, fwd)
+
+        (_, _, cache, hist), (samples, accepts) = jax.lax.scan(
+            body, (tokens, pos, cache, hist), None, length=m)
+        return samples, accepts, cache, hist
 
     return spec
 
@@ -336,17 +339,18 @@ def make_paged_decode_tick(cfg: ModelConfig, mesh: Mesh, params_example,
     return tick
 
 
-def make_paged_spec_tick(cfg: ModelConfig, mesh: Mesh, params_example,
-                         kv_quant: bool = False):
-    """TP+DP speculative tick against the page pool: verify k host-drafted
-    tokens per slot in ONE shard_mapped paged chunk forward (the mesh
-    counterpart of runtime.engine._spec_tick_paged — closes the last
-    spec x paged x mesh composition cell, VERDICT r3 item 4a).
+def make_paged_spec_scan_tick(cfg: ModelConfig, mesh: Mesh, params_example,
+                              k: int, kv_quant: bool = False):
+    """make_spec_scan_tick against the page pool: every round's chunk
+    verifies through the shard_mapped ragged paged chunk forward (pages over
+    `data`, KV heads over `model` — the spec x paged x mesh cell).
 
-    Returns spec(params, chunk (B, k+1), pos0 (B,), temps, top_ps,
-    slot_keys (B, 2), cache, page_tables (B, max_pages))
-    -> (samples (k+1, B), accept (B,), cache). Page tables must cover
-    pos0 + k (reserved by the host loop before dispatch)."""
+    Returns spec(params, tokens (B,), pos (B,), temps, top_ps,
+    slot_keys (B, 2), cache, page_tables (B, max_pages), hist (B, cap), m=)
+    -> (samples (m, k+1, B), accepts (m, B), cache, hist). Page tables must
+    cover pos + m*(k+1) (reserved by the host loop before dispatch)."""
+    from rama_tpu.runtime.engine import _spec_round
+
     pspecs = param_specs(params_example)
     cspec = paged_cache_spec(kv_quant)
 
@@ -365,51 +369,134 @@ def make_paged_spec_tick(cfg: ModelConfig, mesh: Mesh, params_example,
         out_specs=(P(DATA_AXIS, None, None), cspec),
         check_vma=False)
 
-    @partial(jax.jit, donate_argnames=("cache",))
-    def spec(params, chunk, pos0, temps, top_ps, slot_keys, cache, tables):
-        t = chunk.shape[1]
-        logits, cache = mapped(params, chunk, pos0, cache, tables)  # (B,T,V)
-        samples = jnp.stack([
-            sample_batched_keyed(logits[:, j],
-                                 fold_in_pos(slot_keys, pos0 + j),
-                                 temps, top_ps)
-            for j in range(t)])                              # (T, B)
-        ok = (chunk[:, 1:].T == samples[: t - 1])            # (k, B)
-        accept = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=0), axis=0)
-        return samples, accept, cache
+    @partial(jax.jit, static_argnames=("m",),
+             donate_argnames=("cache", "hist"))
+    def spec(params, tokens, pos, temps, top_ps, slot_keys, cache, tables,
+             hist, m=1):
+        def fwd(params, _cfg, chunk, pos0, cache):
+            return mapped(params, chunk, pos0, cache, tables)
+
+        def body(carry, _):
+            return _spec_round(params, cfg, carry, temps, top_ps, slot_keys,
+                               k, fwd)
+
+        (_, _, cache, hist), (samples, accepts) = jax.lax.scan(
+            body, (tokens, pos, cache, hist), None, length=m)
+        return samples, accepts, cache, hist
 
     return spec
 
 
-def make_paged_insert(cfg: ModelConfig, mesh: Mesh, kv_quant: bool = False):
-    """TP+DP prefill insert: scatter a KV-head-sharded (L, kv, T, hd) strip
-    into one slot's pages of the sharded pool (quantizing rows when the pool
-    is int8 — shard-local, scales follow their rows).
+def _mapped_prefill(cfg: ModelConfig, mesh: Mesh, pspecs):
+    """shard_mapped (B, T) from-position-0 prefill into a dense bf16 scratch
+    (batch over `data`, weights/KV heads over `model`)."""
+    cspec = cache_spec()
 
-    rows: (dp, max_pages) int32, one LOCAL page-table row per data replica —
-    the owning replica's row for the admitted slot, every other replica's
-    row all trash-page, so the (replicated-over-data) strip lands in the
-    owner's pages and harmlessly in everyone else's trash page. This is how
-    a single slot's insert composes with a data-sharded pool without any
-    cross-replica collective."""
+    def inner(params, tokens, cache):
+        b, t = tokens.shape
+        pos = jnp.arange(t)[None, :].repeat(b, 0)
+        return forward(params, cfg, tokens, pos, cache, tp_axis=MODEL_AXIS,
+                       plen=jnp.full((b,), t, jnp.int32))
+
+    return jax.shard_map(
+        inner, mesh=mesh,
+        in_specs=(pspecs, P(DATA_AXIS, None), cspec),
+        out_specs=(P(DATA_AXIS, None, None), cspec),
+        check_vma=False)
+
+
+def _prefill_firsts(mapped, cfg, params, tokens, true_lens, temps, top_ps,
+                    slot_keys):
+    """Run the shard_mapped prefill over an in-jit scratch and sample each
+    row's first token at its true last position (same contract as
+    runtime.engine._prefill_body: padded positions write the last scratch
+    row, keys fold in the position)."""
+    k_pad, t_pad = tokens.shape
+    scratch = KVCache.create(cfg, batch=k_pad, max_len=t_pad)
+    logits, scratch = mapped(params, tokens, scratch)
+    last = jnp.take_along_axis(
+        logits, (true_lens - 1)[:, None, None], axis=1)[:, 0]
+    firsts = sample_batched_keyed(last, fold_in_pos(slot_keys, true_lens - 1),
+                                  temps, top_ps)
+    return firsts, scratch
+
+
+def make_prefill_insert(cfg: ModelConfig, mesh: Mesh, params_example,
+                        kv_quant: bool = False):
+    """TP+DP admission in ONE dispatch: shard_mapped batched prefill into an
+    in-jit scratch, first-token sampling, and the slot-cache insert (the
+    mesh counterpart of runtime.engine._prefill_insert — split dispatches
+    each paid a serialized host round-trip that stalled every stream).
+
+    Prefill always runs against a dense bf16 scratch; with an int8 slot
+    cache the strips quantize at insert (engine._insert_body). The insert
+    scatter runs in the outer jit under GSPMD.
+
+    Returns pfi(params, tokens (k, T), true_lens (k,), temps, top_ps,
+    slot_keys (k, 2), slots (k,), cache) -> (firsts (k,), cache)."""
+    from rama_tpu.runtime.engine import _insert_body
+
+    pspecs = param_specs(params_example)
+    mapped = _mapped_prefill(cfg, mesh, pspecs)
+
+    @partial(jax.jit, donate_argnames=("cache",))
+    def pfi(params, tokens, true_lens, temps, top_ps, slot_keys, slots,
+            cache):
+        firsts, scratch = _prefill_firsts(mapped, cfg, params, tokens,
+                                          true_lens, temps, top_ps,
+                                          slot_keys)
+        t_ins = min(tokens.shape[1], cache.k.shape[3])
+        cache = _insert_body(cache, scratch.k[:, :, :, :t_ins],
+                             scratch.v[:, :, :, :t_ins], slots)
+        return firsts, cache
+
+    return pfi
+
+
+def make_paged_prefill_insert(cfg: ModelConfig, mesh: Mesh, params_example,
+                              kv_quant: bool = False):
+    """make_prefill_insert against the page pool: the per-slot page scatters
+    are shard_mapped (pages over `data`, KV heads over `model`) and unroll
+    inside the same program.
+
+    rows_dp: (k, dp, max_pages) int32 — one LOCAL page-table row per
+    (admitted slot, data replica): the owning replica's row for the slot,
+    every other replica's row all trash-page, so the (replicated-over-data)
+    strip lands in the owner's pages and harmlessly in everyone else's
+    trash page. This is how inserts compose with a data-sharded pool
+    without any cross-replica collective.
+
+    Returns pfi(params, tokens (k, T), true_lens (k,), temps, top_ps,
+    slot_keys (k, 2), rows_dp, cache) -> (firsts (k,), cache)."""
     from rama_tpu.runtime.paged import _insert_prefill_paged_impl
 
+    pspecs = param_specs(params_example)
+    mapped = _mapped_prefill(cfg, mesh, pspecs)
     cspec = paged_cache_spec(kv_quant)
     strip = P(None, MODEL_AXIS, None, None)
 
-    def inner(cache, k_strip, v_strip, rows):
+    def inner_ins(cache, k_strip, v_strip, rows):
         return _insert_prefill_paged_impl(cache, k_strip, v_strip, rows[0])
 
-    mapped = jax.shard_map(
-        inner, mesh=mesh,
+    mapped_ins = jax.shard_map(
+        inner_ins, mesh=mesh,
         in_specs=(cspec, strip, strip, P(DATA_AXIS, None)),
         out_specs=cspec, check_vma=False)
 
     @partial(jax.jit, donate_argnames=("cache",))
-    def insert(cache, k_strip, v_strip, rows):
-        return mapped(cache, k_strip, v_strip, rows)
+    def pfi(params, tokens, true_lens, temps, top_ps, slot_keys, rows_dp,
+            cache):
+        firsts, scratch = _prefill_firsts(mapped, cfg, params, tokens,
+                                          true_lens, temps, top_ps,
+                                          slot_keys)
+        ps = cache.page_size
+        t_ins = min(tokens.shape[1], rows_dp.shape[2] * ps)
+        for j in range(tokens.shape[0]):
+            cache = mapped_ins(cache, scratch.k[:, j, :, :t_ins],
+                               scratch.v[:, j, :, :t_ins], rows_dp[j])
+        return firsts, cache
 
-    return insert
+    return pfi
 
 
 def make_prefill(cfg: ModelConfig, mesh: Mesh, params_example,

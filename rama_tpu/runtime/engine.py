@@ -155,63 +155,99 @@ def _decode_tick_paged(params, cfg: ModelConfig, tokens, pos, temps, top_ps,
     return out, cache
 
 
-@partial(jax.jit, static_argnames=("cfg", "k"), donate_argnames=("cache",))
-def _spec_tick(params, cfg: ModelConfig, chunk, pos0, temps, top_ps,
-               slot_keys, cache: KVCache, k: int):
-    """Speculative engine tick: verify k drafted tokens per slot in ONE
-    batched chunk forward (one weight stream for up to k+1 emitted tokens
-    per slot, vs k+1 streams for the plain scan tick).
+def _spec_round(params, cfg: ModelConfig, carry, temps, top_ps, slot_keys,
+                k: int, forward_fn):
+    """One on-device speculative round: draft k tokens per slot with the
+    vmapped n-gram proposer over the device history matrix, verify the
+    (B, k+1) chunk in one fused chunk forward, sample-then-compare accept.
 
-    chunk (B, k+1) = [current token | k host-drafted tokens]; pos0 (B,) the
-    position of the current token. Every chunk position samples from the
-    *target* distribution with a key derived only from (slot key, position)
-    — fold_in_pos — so the served stream is IDENTICAL to the plain-tick
-    stream at any temperature (spec_tick is purely a latency knob). Drafts
-    are accepted while they equal those samples (same sample-then-compare
-    scheme as runtime.speculative). Rejected positions' KV rows hold garbage
-    that is rewritten before any query attends them (write-before-attend).
+    carry = (tokens (B,), pos (B,), cache, hist (B, cap)); hist row b holds
+    the input token at each position p <= pos[b] (prompt + emitted). Every
+    chunk position samples from the *target* distribution with a key derived
+    only from (slot key, position) — fold_in_pos — so the served stream is
+    IDENTICAL to the plain-tick stream at any temperature (speculation is
+    purely a latency knob; drafts affect throughput, never the stream).
+    Rejected positions' KV rows AND hist rows hold garbage that the next
+    round rewrites before anything reads it (write-before-attend for KV;
+    the proposer's validity window idx < pos+1 for hist).
 
-    Returns (samples (k+1, B), accept (B,) in [0, k], cache).
-    """
-    b, t = chunk.shape
-    logits, cache = forward_chunk(params, cfg, chunk, pos0, cache)  # (B,T,V)
+    Returns (new carry, (samples (k+1, B), accept (B,)))."""
+    from rama_tpu.runtime.speculative import ngram_propose
+
+    tokens, pos, cache, hist = carry
+    b = tokens.shape[0]
+    bi = jnp.arange(b)
+    drafts = jax.vmap(lambda h, n: ngram_propose(h, n, k))(hist, pos + 1)
+    chunk = jnp.concatenate([tokens[:, None], drafts], axis=1)   # (B, k+1)
+    logits, cache = forward_fn(params, cfg, chunk, pos, cache)   # (B,T,V)
     samples = jnp.stack([
-        sample_batched_keyed(logits[:, j], fold_in_pos(slot_keys, pos0 + j),
+        sample_batched_keyed(logits[:, j], fold_in_pos(slot_keys, pos + j),
                              temps, top_ps)
-        for j in range(t)])                                        # (T, B)
-    ok = (chunk[:, 1:].T == samples[:k])                           # (k, B)
+        for j in range(k + 1)])                                  # (k+1, B)
+    ok = (chunk[:, 1:].T == samples[:k])                         # (k, B)
     accept = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=0), axis=0)
-    return samples, accept, cache
+    # samples[j] becomes the input at position pos+1+j once accepted; write
+    # all k+1 optimistically (rejected rows sit above the validity window
+    # and are overwritten by the next round's writes at its pos+1..)
+    cols = pos[None, :] + 1 + jnp.arange(k + 1, dtype=jnp.int32)[:, None]
+    hist = hist.at[bi[None, :], cols].set(samples, mode="drop")
+    new_tokens = samples[accept, bi]
+    new_pos = pos + accept + 1
+    return (new_tokens, new_pos, cache, hist), (samples, accept)
 
 
-@partial(jax.jit, static_argnames=("cfg", "k"), donate_argnames=("cache",))
-def _spec_tick_paged(params, cfg: ModelConfig, chunk, pos0, temps, top_ps,
-                     slot_keys, cache, page_tables, k: int):
-    """_spec_tick against the page pool: the chunk verifies through the
-    ragged paged chunk-attention kernel (runtime.paged.forward_paged's fused
-    T<=8 path), so speculative serving composes with paged_kv. Page tables
-    must cover pos0 + k (reserved by the host loop before dispatch);
-    rejected positions' pool rows hold garbage that is rewritten before any
-    query attends them (write-before-attend, same as the dense tick)."""
+@partial(jax.jit, static_argnames=("cfg", "k", "m"),
+         donate_argnames=("cache", "hist"))
+def _spec_scan_tick(params, cfg: ModelConfig, tokens, pos, temps, top_ps,
+                    slot_keys, cache: KVCache, hist, k: int, m: int):
+    """m speculative rounds in ONE device dispatch (draft -> verify ->
+    accept entirely on-device, lax.scan over rounds), so the fixed host
+    round-trip amortizes over up to m*(k+1) emitted tokens per slot — the
+    speculative analogue of the multi-token decode tick. The host loop
+    guarantees pos + m*(k+1) <= max_len before dispatch.
+
+    Returns (samples (m, k+1, B), accepts (m, B), cache, hist)."""
+
+    def body(carry, _):
+        return _spec_round(params, cfg, carry, temps, top_ps, slot_keys, k,
+                           forward_chunk)
+
+    (_, _, cache, hist), (samples, accepts) = jax.lax.scan(
+        body, (tokens, pos, cache, hist), None, length=m)
+    return samples, accepts, cache, hist
+
+
+@partial(jax.jit, static_argnames=("cfg", "k", "m"),
+         donate_argnames=("cache", "hist"))
+def _spec_scan_tick_paged(params, cfg: ModelConfig, tokens, pos, temps,
+                          top_ps, slot_keys, cache, page_tables, hist,
+                          k: int, m: int):
+    """_spec_scan_tick against the page pool: every round verifies through
+    the ragged paged chunk-attention kernel (runtime.paged.forward_paged's
+    fused T<=8 path). Page tables must cover pos + m*(k+1) (reserved by the
+    host loop before dispatch); rejected positions' pool rows hold garbage
+    that is rewritten before any query attends them (write-before-attend,
+    same as the dense tick)."""
     from rama_tpu.runtime.paged import forward_paged
 
-    b, t = chunk.shape
-    pos_index = pos0[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
-    logits, cache = forward_paged(params, cfg, chunk, pos_index, cache,
-                                  page_tables)                     # (B,T,V)
-    samples = jnp.stack([
-        sample_batched_keyed(logits[:, j], fold_in_pos(slot_keys, pos0 + j),
-                             temps, top_ps)
-        for j in range(t)])                                        # (T, B)
-    ok = (chunk[:, 1:].T == samples[:k])                           # (k, B)
-    accept = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=0), axis=0)
-    return samples, accept, cache
+    def fwd(params, cfg, chunk, pos0, cache):
+        t = chunk.shape[1]
+        pos_index = pos0[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+        return forward_paged(params, cfg, chunk, pos_index, cache,
+                             page_tables)
+
+    def body(carry, _):
+        return _spec_round(params, cfg, carry, temps, top_ps, slot_keys, k,
+                           fwd)
+
+    (_, _, cache, hist), (samples, accepts) = jax.lax.scan(
+        body, (tokens, pos, cache, hist), None, length=m)
+    return samples, accepts, cache, hist
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _prefill_batch(params, cfg: ModelConfig, tokens, true_lens, temps, top_ps,
-                   slot_keys):
-    """Prefill k prompts (padded to one (k, T) bucket) in ONE dispatch.
+def _prefill_body(params, cfg: ModelConfig, tokens, true_lens, temps, top_ps,
+                  slot_keys):
+    """Prefill k prompts (padded to one (k, T) bucket) in one batched pass.
 
     A burst of admissions costs one batched weight stream instead of k
     sequential ones (VERDICT r2 #2: serial prefill admission stalled decode
@@ -234,11 +270,10 @@ def _prefill_batch(params, cfg: ModelConfig, tokens, true_lens, temps, top_ps,
     return firsts, scratch.k, scratch.v
 
 
-@partial(jax.jit, donate_argnames=("cache",))
-def _insert_batch(cache, k_new, v_new, slots):
+def _insert_body(cache, k_new, v_new, slots):
     """Scatter k prefilled (L, k, kv, T, hd) K/V strips into their slots at
-    pos 0 in one dispatch. Duplicate slot entries (batch padding) carry
-    identical strips, so scatter order is immaterial.
+    pos 0. Duplicate slot entries (batch padding) carry identical strips,
+    so scatter order is immaterial.
 
     With an int8 cache (QuantKVCache) the bf16 prefill strips are quantized
     row-wise on insert — prefill always runs in a dense bf16 scratch."""
@@ -256,6 +291,40 @@ def _insert_batch(cache, k_new, v_new, slots):
     return KVCache(
         k=cache.k.at[:, slots, :, :t].set(k_new.astype(cache.k.dtype)),
         v=cache.v.at[:, slots, :, :t].set(v_new.astype(cache.v.dtype)))
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def _prefill_insert(params, cfg: ModelConfig, tokens, true_lens, temps,
+                    top_ps, slot_keys, slots, cache):
+    """The ENTIRE device half of admission in ONE dispatch: batched prefill,
+    first-token sampling, and the slot-cache insert. Separate
+    prefill/insert/fetch dispatches paid ~3 serialized host round-trips per
+    admission over a remote-TPU tunnel (measured: 58 ms mean prefill phase
+    for a (8, 16) bucket whose compute is ~10 ms)."""
+    firsts, k_new, v_new = _prefill_body(params, cfg, tokens, true_lens,
+                                         temps, top_ps, slot_keys)
+    t_ins = min(tokens.shape[1], cache.k.shape[3])
+    cache = _insert_body(cache, k_new[:, :, :, :t_ins],
+                         v_new[:, :, :, :t_ins], slots)
+    return firsts, cache
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def _prefill_insert_paged(params, cfg: ModelConfig, tokens, true_lens, temps,
+                          top_ps, slot_keys, rows, cache):
+    """_prefill_insert against the page pool: the k per-slot page scatters
+    unroll inside the same program (k is the static batch bucket). Pad rows
+    duplicate the last real row — identical strips into identical pages."""
+    from rama_tpu.runtime.paged import _insert_prefill_paged_impl
+
+    firsts, k_new, v_new = _prefill_body(params, cfg, tokens, true_lens,
+                                         temps, top_ps, slot_keys)
+    ps = cache.page_size
+    t_ins = min(tokens.shape[1], rows.shape[1] * ps)
+    for j in range(tokens.shape[0]):
+        cache = _insert_prefill_paged_impl(
+            cache, k_new[:, j, :, :t_ins], v_new[:, j, :, :t_ins], rows[j])
+    return firsts, cache
 
 
 class Engine:
@@ -297,6 +366,10 @@ class Engine:
         if self.kv_quant not in (None, "int8"):
             raise ValueError(f"unsupported kv_quant {self.kv_quant!r}")
         self.spec = self.ecfg.spec_tick
+        # rounds per spec dispatch, clamped down to a power of two (each
+        # distinct m is one compiled program; the shrink ladder halves it)
+        r = max(1, self.ecfg.spec_rounds)
+        self.spec_rounds = 1 << (r.bit_length() - 1)
         if self.tp > 1:
             from rama_tpu.parallel.tp import validate_tp
 
@@ -337,23 +410,24 @@ class Engine:
                 self._tp_paged_tick = tp_mod.make_paged_decode_tick(
                     cfg, self.mesh, params,
                     kv_quant=self.kv_quant == "int8")
-                self._tp_paged_insert = tp_mod.make_paged_insert(
-                    cfg, self.mesh, kv_quant=self.kv_quant == "int8")
+                self._tp_prefill_insert = tp_mod.make_paged_prefill_insert(
+                    cfg, self.mesh, params,
+                    kv_quant=self.kv_quant == "int8")
                 if self.spec:
-                    self._tp_paged_spec = tp_mod.make_paged_spec_tick(
-                        cfg, self.mesh, params,
+                    self._tp_paged_spec = tp_mod.make_paged_spec_scan_tick(
+                        cfg, self.mesh, params, self.spec,
                         kv_quant=self.kv_quant == "int8")
             else:
                 self._tp_tick = tp_mod.make_decode_tick(
                     cfg, self.mesh, params,
                     kv_quant=self.kv_quant == "int8")
+                self._tp_prefill_insert = tp_mod.make_prefill_insert(
+                    cfg, self.mesh, params,
+                    kv_quant=self.kv_quant == "int8")
                 if self.spec:
-                    self._tp_spec = tp_mod.make_spec_tick(
-                        cfg, self.mesh, params,
+                    self._tp_spec = tp_mod.make_spec_scan_tick(
+                        cfg, self.mesh, params, self.spec,
                         kv_quant=self.kv_quant == "int8")
-            # prefill always runs against a dense scratch cache (the strip is
-            # quantized at _insert time when the main cache is int8)
-            self._tp_prefill = tp_mod.make_prefill(cfg, self.mesh, params)
         self.params = params
         if self.paged:
             from rama_tpu.native import PageAllocator
@@ -389,6 +463,9 @@ class Engine:
 
                 self.cache = shard_cache(self.cache, self.mesh)
         self.slots = [_Slot() for _ in range(b)]
+        # per-slot token-history capacity (index p = input token at position
+        # p): sized so spec-scan hist writes (<= max_len) always fit
+        self._hist_cap = self.max_len + max(self.spec, 1) + 1
         # bounded admission queue — reference uses bounded(30), main.rs:68
         self.admission: "queue.Queue[Request]" = queue.Queue(maxsize=30)
         # Per-slot stream keys: request r gets fold_in(base, r); every sample
@@ -505,15 +582,17 @@ class Engine:
                 break
             n //= 2
         if self.spec:
-            chunk = np.zeros((b, self.spec + 1), np.int32)
-            if self.multihost:
-                from rama_tpu.parallel.distributed import broadcast_step
-
-                broadcast_step([np.asarray([_OP_SPEC, self.spec, 0, 0],
-                                           np.int64)])
-                broadcast_step([chunk, zb, zt, zp, self.slot_keys.copy()])
-            self._dev_spec(chunk, zb, zt, zp, self.slot_keys, self.spec)
-            count += 1
+            # the m-shrink ladder: every power of two <= spec_rounds
+            m = self.spec_rounds
+            while True:
+                hist = self._hist_matrix()
+                self._broadcast_spec(zb, zb, zt, zp, hist, m)
+                self._dev_spec_scan(zb, zb, zt, zp, self.slot_keys, hist,
+                                    self.spec, m)
+                count += 1
+                if m == 1:
+                    break
+                m //= 2
         # prefill (k, T) buckets: exactly the shapes _start_requests can emit
         # (power-of-two buckets capped at the cache length)
         hi = min((max_prompt or self.max_len) + 1, self.max_len)
@@ -606,13 +685,19 @@ class Engine:
                 self._dev_prefill_insert(tokens, true_lens, slots_arr, temps,
                                          top_ps, keys, rows, n_real)
             elif op == _OP_SPEC:
-                k = a0
-                got = broadcast_step([
-                    np.zeros((b, k + 1), np.int32), np.zeros(b, np.int32),
-                    np.zeros(b, np.float32), np.zeros(b, np.float32),
-                    np.zeros((b, 2), np.uint32)])
-                chunk, pos, temps, tps, slot_keys = got
-                self._dev_spec(chunk, pos, temps, tps, slot_keys, k)
+                k, m = a0, a1
+                tmpl = [np.zeros(b, np.int32), np.zeros(b, np.int32),
+                        np.zeros(b, np.float32), np.zeros(b, np.float32),
+                        np.zeros((b, 2), np.uint32),
+                        np.zeros((b, self._hist_cap), np.int32)]
+                if self.paged:
+                    tmpl.append(np.zeros_like(self.page_tables))
+                got = broadcast_step(tmpl)
+                tokens, pos, temps, tps, slot_keys, hist = got[:6]
+                if self.paged:
+                    self.page_tables = got[6]
+                self._dev_spec_scan(tokens, pos, temps, tps, slot_keys,
+                                    hist, k, m)
             else:
                 raise RuntimeError(f"unknown multihost op {op}")
 
@@ -723,8 +808,7 @@ class Engine:
             slot.last_token = first
             # history buffer seeds the n-gram drafter; _emit appends each
             # emitted token (including `first`, emitted just below)
-            slot.hist = np.zeros(self.max_len + max(self.spec, 1) + 1,
-                                 np.int32)
+            slot.hist = np.zeros(self._hist_cap, np.int32)
             slot.hist[: len(ids)] = ids
             slot.hist_len = len(ids)
             if req.echo_prompt:
@@ -737,72 +821,44 @@ class Engine:
 
     def _dev_prefill_insert(self, tokens, true_lens, slots_arr, temps,
                             top_ps, keys, rows, n_real: int) -> np.ndarray:
-        """The device-side half of request admission: one batched (k, T)
-        prefill + cache inserts for the k admitted slots.
+        """The device-side half of request admission — ONE dispatch: batched
+        (k, T) prefill + first-token sampling + cache inserts for the k
+        admitted slots. Fused because each extra dispatch costs a serialized
+        host round-trip (~25 ms over a remote-TPU tunnel) that stalls every
+        active stream: the split prefill/insert/fetch sequence measured
+        58 ms mean for a (8, 16) bucket whose compute is ~10 ms.
 
         Executed identically on the primary and (replayed from the broadcast
         payload) on every follower host, so the multi-host jit contract —
         same computation sequence, same global values — holds.
         """
-        cfg = self.cfg
-        jkeys = jnp.asarray(keys, jnp.uint32)
-        if self.use_mesh:
-            firsts, k_new, v_new = self._prefill_mesh(tokens, true_lens,
-                                                      temps, top_ps, jkeys)
-        else:
-            firsts, k_new, v_new = _prefill_batch(
-                self.params, cfg, jnp.asarray(tokens), jnp.asarray(true_lens),
-                jnp.asarray(temps), jnp.asarray(top_ps), jkeys)
-        # pad strips may exceed cache length for long prompts; crop positions
-        t_ins = min(tokens.shape[1], self.max_len)
-        k_new, v_new = k_new[:, :, :, :t_ins], v_new[:, :, :, :t_ins]
+        args = (jnp.asarray(tokens), jnp.asarray(true_lens),
+                jnp.asarray(temps), jnp.asarray(top_ps),
+                jnp.asarray(keys, jnp.uint32))
         if self.paged:
-            from rama_tpu.runtime.paged import insert_prefill_paged
-
-            # per-slot page scatters (pad duplicates skipped); the batched
-            # forward above is the expensive half, inserts are plain copies
-            for j in range(n_real):
-                strip_k, strip_v = k_new[:, j], v_new[:, j]
-                if self.use_mesh:
-                    # one LOCAL row per data replica: owner gets the slot's
-                    # row, everyone else writes into their trash page
-                    rows_dp = np.full((self.dp, rows.shape[1]),
-                                      self.trash_page, np.int32)
+            if self.use_mesh:
+                # one LOCAL page-table row per (admitted slot, data replica):
+                # the owner replica gets the slot's row, everyone else writes
+                # into their trash page (pad rows: all-trash)
+                rows_dp = np.full((rows.shape[0], self.dp, rows.shape[1]),
+                                  self.trash_page, np.int32)
+                for j in range(n_real):
                     owner = int(slots_arr[j]) * self.dp // len(self.slots)
-                    rows_dp[owner] = rows[j]
-                    self.cache = self._tp_paged_insert(
-                        self.cache, strip_k, strip_v, jnp.asarray(rows_dp))
-                else:
-                    self.cache = insert_prefill_paged(
-                        cfg, self.cache, strip_k, strip_v,
-                        jnp.asarray(rows[j]))
+                    rows_dp[j, owner] = rows[j]
+                firsts, self.cache = self._tp_prefill_insert(
+                    self.params, *args, jnp.asarray(rows_dp), self.cache)
+            else:
+                firsts, self.cache = _prefill_insert_paged(
+                    self.params, self.cfg, *args, jnp.asarray(rows),
+                    self.cache)
+        elif self.use_mesh:
+            firsts, self.cache = self._tp_prefill_insert(
+                self.params, *args, jnp.asarray(slots_arr), self.cache)
         else:
-            self.cache = _insert_batch(self.cache, k_new, v_new,
-                                       jnp.asarray(slots_arr))
+            firsts, self.cache = _prefill_insert(
+                self.params, self.cfg, *args, jnp.asarray(slots_arr),
+                self.cache)
         return np.asarray(firsts)
-
-    def _prefill_mesh(self, tokens, true_lens, temps, top_ps, keys):
-        """Mesh (TP and/or DP) batched prefill into a sharded scratch cache.
-
-        Padding tokens write garbage K/V at positions >= true_len of the
-        scratch — safe: prefill queries only attend s <= their own position
-        (< true_len), and decode overwrites each position before its first
-        read (same argument as _prefill_batch's padded-row scheme). Returns
-        (firsts (k,), k/v strips (L, k, kv, T, hd), sharded).
-        """
-        from rama_tpu.parallel.tp import shard_cache
-
-        k_pad, t_pad = tokens.shape
-        scratch = shard_cache(
-            KVCache.create(self.cfg, batch=k_pad, max_len=t_pad), self.mesh)
-        logits, scratch = self._tp_prefill(self.params, jnp.asarray(tokens),
-                                           scratch)
-        tl = jnp.asarray(true_lens)
-        last = jnp.take_along_axis(
-            logits, (tl - 1)[:, None, None], axis=1)[:, 0]
-        firsts = sample_batched_keyed(last, fold_in_pos(keys, tl - 1),
-                                      jnp.asarray(temps), jnp.asarray(top_ps))
-        return firsts, scratch.k, scratch.v
 
     def _emit(self, slot: _Slot, token: int):
         req = slot.request
@@ -921,45 +977,46 @@ class Engine:
             pos[i] = s.pos
             temps[i] = s.request.temperature
             tps[i] = s.request.top_p
-        # Speculative tick: drafts verified in one chunk forward. Falls back
-        # to the plain scan tick when any slot is within spec_tick+1 of the
-        # cache end (chunk positions must stay < max_len).
-        if self.spec and all(s.pos + self.spec + 1 <= self.max_len
-                             for s in active):
-            k = self.spec
-            # paged: grow tables to cover the chunk's last column before the
-            # table snapshot below (slots that cannot grow are finished and
-            # their rows land in the trash page)
-            self._reserve_tick_pages(pos, k + 1, finish_on_fail=True)
-            drafts = np.zeros((b, k), np.int32)
-            for i, s in enumerate(self.slots):
-                if not s.free:
-                    drafts[i] = self._draft(s, k)
-            chunk = np.concatenate([tokens[:, None], drafts], axis=1)
-            if self.multihost:
-                from rama_tpu.parallel.distributed import broadcast_step
-
-                broadcast_step([np.asarray([_OP_SPEC, k, 0, 0], np.int64)])
-                broadcast_step([chunk, pos, temps, tps,
-                                self.slot_keys.copy()])
+        # Speculative dispatch: m on-device draft->verify rounds per host
+        # round-trip (_spec_scan_tick). m shrinks (powers of two) near token
+        # budgets and the cache end; m=0 falls back to the plain scan tick.
+        k = self.spec
+        m = self.spec_rounds if self.spec else 0
+        if m:
+            # each round advances a slot's position by at most k+1; every
+            # chunk position must stay < max_len
+            worst = max(s.pos for s in active)
+            while m and worst + m * (k + 1) > self.max_len:
+                m //= 2
+            # each round emits at least 1 token; don't scan far past the
+            # tightest remaining budget (same rule as the plain-tick shrink)
+            remaining = min(s.request.steps - s.generated for s in active)
+            while m > 1 and m // 2 >= remaining:
+                m //= 2
+        if m:
+            self._reserve_tick_pages(pos, m * (k + 1), finish_on_fail=True)
+            hist = self._hist_matrix()
+            self._broadcast_spec(tokens, pos, temps, tps, hist, m)
             t0 = time.time()
-            samples, accept = self._dev_spec(chunk, pos, temps, tps,
-                                             self.slot_keys, k)
+            samples, accepts = self._dev_spec_scan(tokens, pos, temps, tps,
+                                                   self.slot_keys, hist, k, m)
             self.metrics["decode_ticks"] += 1
             self.metrics["decode_s"] += time.time() - t0
-            self.metrics["spec_drafted"] += k * len(active)
             with self.phases.phase("emit"):
-                for i, s in enumerate(self.slots):
-                    if s.free:
-                        continue
-                    self.metrics["spec_accepted"] += int(accept[i])
-                    for j in range(int(accept[i]) + 1):
-                        s.pos += 1
-                        s.last_token = int(samples[j, i])
-                        self.metrics["tick_tokens"] += 1
-                        self._emit(s, s.last_token)
-                        if s.free:  # finished mid-chunk; drop the rest
-                            break
+                for r in range(m):
+                    for i, s in enumerate(self.slots):
+                        if s.free:  # finished in an earlier round
+                            continue
+                        self.metrics["spec_drafted"] += k
+                        a = int(accepts[r, i])
+                        self.metrics["spec_accepted"] += a
+                        for j in range(a + 1):
+                            s.pos += 1
+                            s.last_token = int(samples[r, j, i])
+                            self.metrics["tick_tokens"] += 1
+                            self._emit(s, s.last_token)
+                            if s.free:  # finished mid-chunk; drop the rest
+                                break
             return
         # Shrink the tick so no slot overshoots its remaining token budget by
         # much: one dispatch still yields up to decode_tick tokens, but a tick
@@ -1084,53 +1141,56 @@ class Engine:
             payload.append(self.page_tables.copy())
         broadcast_step(payload)
 
-    def _draft(self, slot: _Slot, k: int, gram: int = 2) -> np.ndarray:
-        """Host-side prompt-lookup draft: continue the most recent earlier
-        occurrence of the trailing `gram`-gram of the slot's token history
-        (same proposer as runtime.speculative.ngram_propose, in numpy — the
-        history lives host-side anyway). Falls back to repeating the last
-        token; acceptance in _spec_tick makes draft quality a latency knob,
-        never a correctness one."""
-        h, n = slot.hist, slot.hist_len
-        last = h[n - 1] if n else 0
-        if n < gram + 1:
-            return np.full(k, last, np.int32)
-        tail = h[n - gram:n]
-        win = np.lib.stride_tricks.sliding_window_view(h[:n], gram)
-        m = (win == tail).all(axis=1)
-        m[-1] = False  # the tail itself is not a continuation source
-        idx = np.nonzero(m)[0]
-        if len(idx) == 0:
-            return np.full(k, last, np.int32)
-        j = int(idx[-1]) + gram
-        out = h[j:min(j + k, n)]
-        if len(out) < k:
-            out = np.concatenate([out, np.full(k - len(out), last, np.int32)])
-        return out.astype(np.int32)
+    def _hist_matrix(self) -> np.ndarray:
+        """(B, cap) int32 token-history matrix, row i = slot i's prompt +
+        emitted inputs by position (zeros for free slots) — the on-device
+        n-gram drafter's source. Built from host bookkeeping at each spec
+        dispatch: B * cap int32s, a negligible async upload next to the
+        chunk forward it feeds."""
+        return np.stack([
+            s.hist if s.hist is not None and not s.free
+            else np.zeros(self._hist_cap, np.int32)
+            for s in self.slots])
 
-    def _dev_spec(self, chunk, pos, temps, tps, slot_keys, k: int):
-        """The device-side speculative tick (chunk verification), executed
-        identically on every host."""
+    def _broadcast_spec(self, tokens, pos, temps, tps, hist, m: int):
+        if not self.multihost:
+            return
+        from rama_tpu.parallel.distributed import broadcast_step
+
+        broadcast_step([np.asarray([_OP_SPEC, self.spec, m, 0], np.int64)])
+        payload = [tokens, pos, temps, tps, self.slot_keys.copy(), hist]
+        if self.paged:
+            payload.append(self.page_tables.copy())
+        broadcast_step(payload)
+
+    def _dev_spec_scan(self, tokens, pos, temps, tps, slot_keys, hist,
+                       k: int, m: int):
+        """The device-side speculative scan (m draft->verify rounds),
+        executed identically on every host. Returns host copies of
+        (samples (m, k+1, B), accepts (m, B))."""
         keys = jnp.asarray(slot_keys, jnp.uint32)
+        jh = jnp.asarray(hist)
         if self.use_mesh and self.paged:
-            samples, accept, self.cache = self._tp_paged_spec(
-                self.params, jnp.asarray(chunk), jnp.asarray(pos),
+            samples, accepts, self.cache, _ = self._tp_paged_spec(
+                self.params, jnp.asarray(tokens), jnp.asarray(pos),
                 jnp.asarray(temps), jnp.asarray(tps), keys, self.cache,
-                jnp.asarray(self.page_tables))
+                jnp.asarray(self.page_tables), jh, m=m)
         elif self.use_mesh:
-            samples, accept, self.cache = self._tp_spec(
-                self.params, jnp.asarray(chunk), jnp.asarray(pos),
-                jnp.asarray(temps), jnp.asarray(tps), keys, self.cache)
-        elif self.paged:
-            samples, accept, self.cache = _spec_tick_paged(
-                self.params, self.cfg, jnp.asarray(chunk), jnp.asarray(pos),
+            samples, accepts, self.cache, _ = self._tp_spec(
+                self.params, jnp.asarray(tokens), jnp.asarray(pos),
                 jnp.asarray(temps), jnp.asarray(tps), keys, self.cache,
-                jnp.asarray(self.page_tables), k)
+                jh, m=m)
+        elif self.paged:
+            samples, accepts, self.cache, _ = _spec_scan_tick_paged(
+                self.params, self.cfg, jnp.asarray(tokens), jnp.asarray(pos),
+                jnp.asarray(temps), jnp.asarray(tps), keys, self.cache,
+                jnp.asarray(self.page_tables), jh, k, m)
         else:
-            samples, accept, self.cache = _spec_tick(
-                self.params, self.cfg, jnp.asarray(chunk), jnp.asarray(pos),
-                jnp.asarray(temps), jnp.asarray(tps), keys, self.cache, k)
-        return np.asarray(samples), np.asarray(accept)
+            samples, accepts, self.cache, _ = _spec_scan_tick(
+                self.params, self.cfg, jnp.asarray(tokens), jnp.asarray(pos),
+                jnp.asarray(temps), jnp.asarray(tps), keys, self.cache,
+                jh, k, m)
+        return np.asarray(samples), np.asarray(accepts)
 
     def _dev_tick(self, tokens, pos, temps, tps, slot_keys, n: int) -> np.ndarray:
         """Blocking decode tick (fetches the sampled tokens)."""

@@ -438,7 +438,7 @@ def _insert_prefill_paged_impl(cache: PagedKVCache, k_strip, v_strip,
 
     T must be <= the slot's reserved pages * page_size; position i maps to
     (page_table_row[i // ps], i % ps). Shapes may be the local TP shards
-    (called inside shard_map by parallel.tp.make_paged_insert).
+    (called inside shard_map by parallel.tp.make_paged_prefill_insert).
     """
     l, nkv, t_len, hd = k_strip.shape
     ps = cache.page_size

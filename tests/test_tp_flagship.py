@@ -22,7 +22,7 @@ from rama_tpu.ops.quant import (QuantizedEmbedding, QuantizedTensor,
                                 quantize_int4, quantize_int8)
 from rama_tpu.parallel.mesh import make_mesh
 from rama_tpu.parallel.tp import (make_decode_tick, make_prefill,
-                                  make_spec_tick, param_specs,
+                                  make_spec_scan_tick, param_specs,
                                   quant_cache_spec, shard_params)
 
 TP = 8
@@ -109,13 +109,14 @@ def test_tp8_flagship_decode_tick_lowers(flagship):
 def test_tp8_flagship_spec_tick_lowers(flagship):
     cfg, mesh, params = flagship
     b, k = 8, 3
-    spec = make_spec_tick(cfg, mesh, params, kv_quant=True)
+    spec = make_spec_scan_tick(cfg, mesh, params, k, kv_quant=True)
     cache = _sds_cache(cfg, mesh, b, cfg.seq_len)
-    chunk = jax.ShapeDtypeStruct((b, k + 1), jnp.int32)
     sb = jax.ShapeDtypeStruct((b,), jnp.int32)
     sf = jax.ShapeDtypeStruct((b,), jnp.float32)
     keys = jax.ShapeDtypeStruct((b, 2), jnp.uint32)
-    assert spec.lower(params, chunk, sb, sf, sf, keys, cache) is not None
+    hist = jax.ShapeDtypeStruct((b, cfg.seq_len + k + 1), jnp.int32)
+    assert spec.lower(params, sb, sb, sf, sf, keys, cache, hist,
+                      m=4) is not None
 
 
 def test_tp8_flagship_prefill_lowers(flagship):

@@ -29,10 +29,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bits", type=int, default=4)
     ap.add_argument("--steps", type=int, default=16)
+    ap.add_argument("--max-len", type=int, default=1024)
+    ap.add_argument("--kv", default="bf16", choices=("bf16", "int8"))
+    ap.add_argument("--pos", type=int, default=0)
     args = ap.parse_args()
 
     from __graft_entry__ import _flagship_config, _random_quant_params
-    from rama_tpu.models.llama import KVCache, decode_step
+    from rama_tpu.models.llama import KVCache, QuantKVCache, decode_step
     from rama_tpu.runtime.sampler import sample_greedy
 
     cfg = _flagship_config()
@@ -53,14 +56,16 @@ def main():
         return out, cache
 
     token = jnp.ones((1,), jnp.int32)
-    cache = KVCache.create(cfg, batch=1, max_len=1024)
-    out, cache = decode_n(params, token, jnp.int32(0), cache, args.steps)
+    make = QuantKVCache.create if args.kv == "int8" else KVCache.create
+    cache = make(cfg, batch=1, max_len=args.max_len)
+    pos0 = jnp.int32(args.pos)
+    out, cache = decode_n(params, token, pos0, cache, args.steps)
     np.asarray(out)  # warm/compile
     log("warmed; tracing")
 
     tdir = "/tmp/decode_trace"
     jax.profiler.start_trace(tdir)
-    out, cache = decode_n(params, token, jnp.int32(0), cache, args.steps)
+    out, cache = decode_n(params, token, pos0, cache, args.steps)
     np.asarray(out)
     jax.profiler.stop_trace()
 
