@@ -43,6 +43,23 @@ def _pick_heads(nkv: int, bytes_per_head: int, budget: int = 12 << 20,
     return hb
 
 
+def _pick_heads_q8(nkv: int, bytes_per_head: int,
+                   budget: int = 12 << 20) -> int:
+    """_pick_heads for the int8-cache kernels, whose (…, hb, S-tile) scale
+    blocks put hb in the SUBLANE position: Mosaic requires the block's
+    second-minor dim to be 8-aligned or cover the array dim fully. (The
+    alternative — a dummy unit dim so the sublane block is trivially "full"
+    — forces a (nkv, S) -> (1, S) relayout of the whole f32 scale array at
+    every layer call: 268 MB materialized per layer at S=16K, measured
+    ~16 ms/step of the 26 ms long-context decode step.) Always satisfiable:
+    any nkv <= 88 fits the full-nkv block in the VMEM budget."""
+    cands = [h for h in (8, 16, 32) if h < nkv and nkv % h == 0
+             and 2 * h * bytes_per_head <= budget]
+    if 2 * nkv * bytes_per_head <= budget or not cands:
+        cands.append(nkv)
+    return max(cands)
+
+
 def _one_head(q, k, v, visible, out_dtype):
     """softmax(q k^T / sqrt(hd)) v for one (rep, hd) query group against one
     (S, hd) cache stripe, masked to `visible` (1, S)."""
@@ -356,25 +373,25 @@ def _kernel_q8(sc_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
     else:
         tr = q_ref.shape[2]
         visible = _row_mask(pos, s, tr, tr // t)
+    # scale blocks are 4-D (.., hb, S): hb rides the sublane dim (see
+    # _pick_heads_q8) so the f32 scale arrays stream in their storage layout
+    ksb = ks_ref[0, 0] if layered else ks_ref[0]         # (hb, S) f32
+    vsb = vs_ref[0, 0] if layered else vs_ref[0]
     if q_ref.shape[2] == 1:
         if layered:
             k, v = k_ref[0, 0], v_ref[0, 0]
-            ks, vs = ks_ref[0, 0, :, 0, :], vs_ref[0, 0, :, 0, :]
         else:
             k, v = k_ref[0], v_ref[0]
-            ks, vs = ks_ref[0, :, 0, :], vs_ref[0, :, 0, :]
         o_ref[0, :, 0, :] = _heads_batched_q8(
-            q_ref[0], k, v, ks, vs, visible, o_ref.dtype)
+            q_ref[0], k, v, ksb, vsb, visible, o_ref.dtype)
         return
     for h in range(hb):
         if layered:
             k, v = k_ref[0, 0, h], v_ref[0, 0, h]        # (S, hd) int8
-            ks, vs = ks_ref[0, 0, h], vs_ref[0, 0, h]    # (1, S) f32
         else:
             k, v = k_ref[0, h], v_ref[0, h]
-            ks, vs = ks_ref[0, h], vs_ref[0, h]
-        o_ref[0, h] = _one_head_q8(q_ref[0, h], k, v, ks, vs, visible,
-                                   o_ref.dtype)
+        o_ref[0, h] = _one_head_q8(q_ref[0, h], k, v, ksb[h:h + 1],
+                                   vsb[h:h + 1], visible, o_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -386,7 +403,7 @@ def decode_attention_q8(q: jax.Array, k8: jax.Array, v8: jax.Array,
     b, nh, hd = q.shape
     nkv, s = k8.shape[1], k8.shape[2]
     rep = nh // nkv
-    hb = _pick_heads(nkv, s * (2 * hd + 8))
+    hb = _pick_heads_q8(nkv, s * (2 * hd + 8))
     qg = q.reshape(b, nkv, rep, hd)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -396,8 +413,8 @@ def decode_attention_q8(q: jax.Array, k8: jax.Array, v8: jax.Array,
             pl.BlockSpec((1, hb, rep, hd), lambda i, j, sc: (i, j, 0, 0)),
             pl.BlockSpec((1, hb, s, hd), lambda i, j, sc: (i, j, 0, 0)),
             pl.BlockSpec((1, hb, s, hd), lambda i, j, sc: (i, j, 0, 0)),
-            pl.BlockSpec((1, hb, 1, s), lambda i, j, sc: (i, j, 0, 0)),
-            pl.BlockSpec((1, hb, 1, s), lambda i, j, sc: (i, j, 0, 0)),
+            pl.BlockSpec((1, hb, s), lambda i, j, sc: (i, j, 0)),
+            pl.BlockSpec((1, hb, s), lambda i, j, sc: (i, j, 0)),
         ],
         out_specs=pl.BlockSpec((1, hb, rep, hd), lambda i, j, sc: (i, j, 0, 0)),
     )
@@ -406,7 +423,7 @@ def decode_attention_q8(q: jax.Array, k8: jax.Array, v8: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, nkv, rep, hd), q.dtype),
         interpret=interpret,
-    )(pos.astype(jnp.int32), qg, k8, v8, ks[:, :, None, :], vs[:, :, None, :])
+    )(pos.astype(jnp.int32), qg, k8, v8, ks, vs)
     return out.reshape(b, nh * hd)
 
 
@@ -420,7 +437,7 @@ def decode_attention_layer_q8(q: jax.Array, k8_full: jax.Array,
     b, nh, hd = q.shape
     nkv, s = k8_full.shape[2], k8_full.shape[3]
     rep = nh // nkv
-    hb = _pick_heads(nkv, s * (2 * hd + 8))
+    hb = _pick_heads_q8(nkv, s * (2 * hd + 8))
     qg = q.reshape(b, nkv, rep, hd)
     scalars = jnp.concatenate([pos.astype(jnp.int32),
                                layer.reshape(1).astype(jnp.int32)])
@@ -435,8 +452,8 @@ def decode_attention_layer_q8(q: jax.Array, k8_full: jax.Array,
             pl.BlockSpec((1, hb, rep, hd), lambda i, j, sc: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, hb, s, hd), lambda i, j, sc: (li(sc), i, j, 0, 0)),
             pl.BlockSpec((1, 1, hb, s, hd), lambda i, j, sc: (li(sc), i, j, 0, 0)),
-            pl.BlockSpec((1, 1, hb, 1, s), lambda i, j, sc: (li(sc), i, j, 0, 0)),
-            pl.BlockSpec((1, 1, hb, 1, s), lambda i, j, sc: (li(sc), i, j, 0, 0)),
+            pl.BlockSpec((1, 1, hb, s), lambda i, j, sc: (li(sc), i, j, 0)),
+            pl.BlockSpec((1, 1, hb, s), lambda i, j, sc: (li(sc), i, j, 0)),
         ],
         out_specs=pl.BlockSpec((1, hb, rep, hd), lambda i, j, sc: (i, j, 0, 0)),
     )
@@ -445,8 +462,7 @@ def decode_attention_layer_q8(q: jax.Array, k8_full: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, nkv, rep, hd), q.dtype),
         interpret=interpret,
-    )(scalars, qg, k8_full, v8_full,
-      ks_full[:, :, :, None, :], vs_full[:, :, :, None, :])
+    )(scalars, qg, k8_full, v8_full, ks_full, vs_full)
     return out.reshape(b, nh * hd)
 
 
@@ -481,8 +497,8 @@ def _kernel_tiled_q8(sc_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
             q = q_ref[0, :, :, :].astype(jnp.bfloat16)     # (hb, 1, hd)
             k = k_ref[0, 0].astype(jnp.bfloat16)           # (hb, c, hd)
             v = v_ref[0, 0].astype(jnp.bfloat16)
-            ks = ks_ref[0, 0, :, 0, :]                     # (hb, c)
-            vs = vs_ref[0, 0, :, 0, :]
+            ks = ks_ref[0, 0]                              # (hb, c)
+            vs = vs_ref[0, 0]
             hd = q.shape[-1]
             scores = jax.lax.dot_general(
                 q, k, (((2,), (2,)), ((0,), (0,))),
@@ -509,8 +525,8 @@ def _kernel_tiled_q8(sc_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
             q = q_ref[0, h]                    # (rep, hd)
             k = k_ref[0, 0, h]                 # (c, hd) int8
             v = v_ref[0, 0, h]
-            ks = ks_ref[0, 0, h]               # (1, c)
-            vs = vs_ref[0, 0, h]
+            ks = ks_ref[0, 0, h:h + 1]         # (1, c)
+            vs = vs_ref[0, 0, h:h + 1]
             rep_, hd = q.shape
 
             scores = jax.lax.dot_general(
@@ -550,7 +566,7 @@ def decode_attention_layer_tiled_q8(q: jax.Array, k8_full: jax.Array,
     c = max([d for d in range(8, min(chunk, s) + 1, 8) if s % d == 0],
             default=s)
     nc = s // c
-    hb = _pick_heads(nkv, c * (2 * hd + 8))
+    hb = _pick_heads_q8(nkv, c * (2 * hd + 8))
     qg = q.reshape(b, nkv, rep, hd)
     scalars = jnp.concatenate([pos.astype(jnp.int32),
                                layer.reshape(1).astype(jnp.int32)])
@@ -561,7 +577,7 @@ def decode_attention_layer_tiled_q8(q: jax.Array, k8_full: jax.Array,
 
     def sc_idx(bi, j, p, sc):
         last = jnp.minimum(sc[bi] // c, nc - 1)
-        return (sc[sc.shape[0] - 1], bi, j, 0, jnp.minimum(p, last))
+        return (sc[sc.shape[0] - 1], bi, j, jnp.minimum(p, last))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -570,8 +586,8 @@ def decode_attention_layer_tiled_q8(q: jax.Array, k8_full: jax.Array,
             pl.BlockSpec((1, hb, rep, hd), lambda bi, j, p, sc: (bi, j, 0, 0)),
             pl.BlockSpec((1, 1, hb, c, hd), kv_idx),
             pl.BlockSpec((1, 1, hb, c, hd), kv_idx),
-            pl.BlockSpec((1, 1, hb, 1, c), sc_idx),
-            pl.BlockSpec((1, 1, hb, 1, c), sc_idx),
+            pl.BlockSpec((1, 1, hb, c), sc_idx),
+            pl.BlockSpec((1, 1, hb, c), sc_idx),
         ],
         out_specs=pl.BlockSpec((1, hb, rep, hd),
                                lambda bi, j, p, sc: (bi, j, 0, 0)),
@@ -589,8 +605,7 @@ def decode_attention_layer_tiled_q8(q: jax.Array, k8_full: jax.Array,
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(scalars, qg, k8_full, v8_full,
-      ks_full[:, :, :, None, :], vs_full[:, :, :, None, :])
+    )(scalars, qg, k8_full, v8_full, ks_full, vs_full)
     return out.reshape(b, nh * hd)
 
 
@@ -721,7 +736,7 @@ def chunk_attention_layer_q8(q: jax.Array, k8_full: jax.Array,
     b, t, nh, hd = q.shape
     nkv, s = k8_full.shape[2], k8_full.shape[3]
     rep = nh // nkv
-    hb = _pick_heads(nkv, s * (2 * hd + 8))
+    hb = _pick_heads_q8(nkv, s * (2 * hd + 8))
     qg = _chunk_rows(q, nkv)
     scalars = jnp.concatenate([pos0.astype(jnp.int32),
                                layer.reshape(1).astype(jnp.int32)])
@@ -739,10 +754,10 @@ def chunk_attention_layer_q8(q: jax.Array, k8_full: jax.Array,
                          lambda i, j, sc: (li(sc), i, j, 0, 0)),
             pl.BlockSpec((1, 1, hb, s, hd),
                          lambda i, j, sc: (li(sc), i, j, 0, 0)),
-            pl.BlockSpec((1, 1, hb, 1, s),
-                         lambda i, j, sc: (li(sc), i, j, 0, 0)),
-            pl.BlockSpec((1, 1, hb, 1, s),
-                         lambda i, j, sc: (li(sc), i, j, 0, 0)),
+            pl.BlockSpec((1, 1, hb, s),
+                         lambda i, j, sc: (li(sc), i, j, 0)),
+            pl.BlockSpec((1, 1, hb, s),
+                         lambda i, j, sc: (li(sc), i, j, 0)),
         ],
         out_specs=pl.BlockSpec((1, hb, tr, hd), lambda i, j, sc: (i, j, 0, 0)),
     )
@@ -751,8 +766,7 @@ def chunk_attention_layer_q8(q: jax.Array, k8_full: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, nkv, tr, hd), q.dtype),
         interpret=interpret,
-    )(scalars, qg, k8_full, v8_full,
-      ks_full[:, :, :, None, :], vs_full[:, :, :, None, :])
+    )(scalars, qg, k8_full, v8_full, ks_full, vs_full)
     return _chunk_unrows(out, b, t, nh, hd)
 
 
@@ -768,7 +782,7 @@ def chunk_attention_layer_tiled_q8(q: jax.Array, k8_full: jax.Array,
     c = max([d for d in range(8, min(chunk, s) + 1, 8) if s % d == 0],
             default=s)
     nc = s // c
-    hb = _pick_heads(nkv, c * (2 * hd + 8))
+    hb = _pick_heads_q8(nkv, c * (2 * hd + 8))
     qg = _chunk_rows(q, nkv)
     scalars = jnp.concatenate([pos0.astype(jnp.int32),
                                layer.reshape(1).astype(jnp.int32)])
@@ -780,7 +794,7 @@ def chunk_attention_layer_tiled_q8(q: jax.Array, k8_full: jax.Array,
 
     def sc_idx(bi, j, p, sc):
         last = jnp.minimum((sc[bi] + t - 1) // c, nc - 1)
-        return (sc[sc.shape[0] - 1], bi, j, 0, jnp.minimum(p, last))
+        return (sc[sc.shape[0] - 1], bi, j, jnp.minimum(p, last))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -789,8 +803,8 @@ def chunk_attention_layer_tiled_q8(q: jax.Array, k8_full: jax.Array,
             pl.BlockSpec((1, hb, tr, hd), lambda bi, j, p, sc: (bi, j, 0, 0)),
             pl.BlockSpec((1, 1, hb, c, hd), kv_idx),
             pl.BlockSpec((1, 1, hb, c, hd), kv_idx),
-            pl.BlockSpec((1, 1, hb, 1, c), sc_idx),
-            pl.BlockSpec((1, 1, hb, 1, c), sc_idx),
+            pl.BlockSpec((1, 1, hb, c), sc_idx),
+            pl.BlockSpec((1, 1, hb, c), sc_idx),
         ],
         out_specs=pl.BlockSpec((1, hb, tr, hd),
                                lambda bi, j, p, sc: (bi, j, 0, 0)),
@@ -808,8 +822,7 @@ def chunk_attention_layer_tiled_q8(q: jax.Array, k8_full: jax.Array,
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(scalars, qg, k8_full, v8_full,
-      ks_full[:, :, :, None, :], vs_full[:, :, :, None, :])
+    )(scalars, qg, k8_full, v8_full, ks_full, vs_full)
     return _chunk_unrows(out, b, t, nh, hd)
 
 

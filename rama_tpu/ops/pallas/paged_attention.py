@@ -14,9 +14,13 @@ index is unchanged between consecutive grid steps, and `pl.when` skips the
 compute, so a slot at pos=130 with page_size=128 streams 2 pages out of
 max_pages regardless of the pool-wide maximum.
 
-Per (slot b, kv head j) the softmax runs online (flash-style) across pages:
-running max / normalizer / accumulator live in VMEM scratch and the output
-is finalized on the last page step.
+A paged kernel is an S-tiled kernel whose tile index goes through the page
+table: the kernel BODIES are decode_attention's _kernel_tiled /
+_kernel_tiled_q8 (online softmax across page steps, hb KV heads per
+program), invoked here with c=page_size, nc=max_pages and page-translated
+index maps. Scale blocks ride hb in the sublane position (_pick_heads_q8),
+so the f32 pool scales stream in their storage layout — no per-layer
+relayout of the whole pool.
 
 Reference context: the reference has no paged cache at all (it allocates a
 dense per-request [L x S x dim] cache, engine/src/ram.rs:20-21); this is the
@@ -29,68 +33,73 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _chunk_mask(pos, base: int, ps: int, tr: int, rep: int):
-    """(tr, ps) causal mask for a chunk of consecutive queries against page
-    rows [base, base+ps): row r is query position pos + r // rep (rows are
-    t-major within a kv group, decode_attention._chunk_rows)."""
-    row = jax.lax.broadcasted_iota(jnp.int32, (tr, ps), 0) // rep
-    g = base + jax.lax.broadcasted_iota(jnp.int32, (tr, ps), 1)
-    return g <= pos + row
+from rama_tpu.ops.pallas.decode_attention import (_chunk_rows, _chunk_unrows,
+                                                  _kernel_tiled,
+                                                  _kernel_tiled_q8,
+                                                  _pick_heads, _pick_heads_q8)
 
 
-def _kernel(sc_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
-            ps: int, mp: int, nb: int, t: int = 1):
-    b = pl.program_id(0)
-    p = pl.program_id(2)
-    pos = sc_ref[b]
-    # index of the slot's last used page (chunk rows run to pos + t - 1)
-    last = jnp.minimum((pos + t - 1) // ps, mp - 1)
+def _paged_call(qg, pools, pos, page_tables, layer, kernel, hb: int,
+                quant: bool, t: int, interpret: bool):
+    """Shared pallas_call builder for the paged attention variants.
 
-    @pl.when(p == 0)
-    def _():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-        m_ref[...] = jnp.full_like(m_ref, -1e30)
-        l_ref[...] = jnp.zeros_like(l_ref)
+    qg: (B, nkv, tr, hd) grouped queries; pools: (k, v[, ks, vs]) with
+    k/v (L, P, nkv, ps, hd) and ks/vs (L, P, nkv, ps); pos (B,) the position
+    of each slot's chunk column 0. Scalar layout: [pos (B,) | page tables
+    flat (B*mp,) | layer (1,)].
+    """
+    b, nkv, tr, hd = qg.shape
+    ps = pools[0].shape[3]
+    mp = page_tables.shape[1]
 
-    @pl.when(p <= last)
-    def _():
-        q = q_ref[0, 0]                    # (tr, hd); tr = t*rep
-        k = k_ref[0, 0, 0]                 # (ps, hd)
-        v = v_ref[0, 0, 0]
-        tr, hd = q.shape
+    scalars = jnp.concatenate([
+        pos.astype(jnp.int32),
+        jnp.maximum(page_tables, 0).reshape(-1).astype(jnp.int32),
+        layer.reshape(1).astype(jnp.int32)])
 
-        scores = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) / np.sqrt(hd)   # (tr, ps)
-        if t == 1:
-            g = p * ps + jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
-            mask = g <= pos
-        else:
-            mask = _chunk_mask(pos, p * ps, ps, tr, tr // t)
-        scores = jnp.where(mask, scores, -1e30)
+    def page_index(bi, p, sc):
+        # repeat the last used page for steps past it -> DMA elided
+        last = jnp.minimum((sc[bi] + t - 1) // ps, mp - 1)
+        return sc[b + bi * mp + jnp.minimum(p, last)]
 
-        m_prev = m_ref[:, :1]                                   # (rep, 1)
-        l_prev = l_ref[:, :1]
-        m_cur = jnp.max(scores, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        e = jnp.exp(scores - m_new)                             # (rep, ps)
-        l_new = alpha * l_prev + jnp.sum(e, axis=-1, keepdims=True)
-        pv = jax.lax.dot_general(
-            e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                 # (rep, hd)
-        acc_ref[...] = alpha * acc_ref[...] + pv
-        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
-        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+    kv_spec = pl.BlockSpec(
+        (1, 1, hb, ps, hd),
+        lambda bi, j, p, sc: (sc[sc.shape[0] - 1], page_index(bi, p, sc),
+                              j, 0, 0))
+    sc_spec = pl.BlockSpec(
+        (1, 1, hb, ps),
+        lambda bi, j, p, sc: (sc[sc.shape[0] - 1], page_index(bi, p, sc),
+                              j, 0))
+    in_specs = [pl.BlockSpec((1, hb, tr, hd),
+                             lambda bi, j, p, sc: (bi, j, 0, 0)),
+                kv_spec, kv_spec]
+    if quant:
+        in_specs += [sc_spec, sc_spec]
 
-    @pl.when(p == nb - 1)
-    def _():
-        o_ref[0, 0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nkv // hb, mp),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, hb, tr, hd),
+                               lambda bi, j, p, sc: (bi, j, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((hb, tr, hd), jnp.float32),    # acc
+            pltpu.VMEM((hb, tr, 128), jnp.float32),   # running max
+            pltpu.VMEM((hb, tr, 128), jnp.float32),   # running normalizer
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nkv, tr, hd), qg.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(scalars, qg, *pools)
 
 
 def paged_decode_attention_layer(q: jax.Array, k_pool: jax.Array,
@@ -112,106 +121,13 @@ def paged_decode_attention_layer(q: jax.Array, k_pool: jax.Array,
     nkv, ps = k_pool.shape[2], k_pool.shape[3]
     mp = page_tables.shape[1]
     rep = nh // nkv
+    hb = _pick_heads(nkv, 2 * ps * hd * k_pool.dtype.itemsize)
     qg = q.reshape(b, nkv, rep, hd)
-
-    # scalars: [pos (B,) | tables flat (B*mp,) | layer (1,)]
-    scalars = jnp.concatenate([
-        pos.astype(jnp.int32),
-        jnp.maximum(page_tables, 0).reshape(-1).astype(jnp.int32),
-        layer.reshape(1).astype(jnp.int32)])
-
-    def page_index(bi, j, p, sc):
-        # repeat the last used page for steps past it -> DMA elided
-        last = jnp.minimum(sc[bi] // ps, mp - 1)
-        pp = jnp.minimum(p, last)
-        return sc[b + bi * mp + pp]
-
-    def kv_spec():
-        return pl.BlockSpec(
-            (1, 1, 1, ps, hd),
-            lambda bi, j, p, sc: (sc[sc.shape[0] - 1], page_index(bi, j, p, sc),
-                                  j, 0, 0))
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b, nkv, mp),
-        in_specs=[
-            pl.BlockSpec((1, 1, rep, hd), lambda bi, j, p, sc: (bi, j, 0, 0)),
-            kv_spec(),
-            kv_spec(),
-        ],
-        out_specs=pl.BlockSpec((1, 1, rep, hd),
-                               lambda bi, j, p, sc: (bi, j, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((rep, hd), jnp.float32),    # acc
-            pltpu.VMEM((rep, 128), jnp.float32),   # running max (broadcast)
-            pltpu.VMEM((rep, 128), jnp.float32),   # running normalizer
-        ],
-    )
-    out = pl.pallas_call(
-        partial(_kernel, ps=ps, mp=mp, nb=mp),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, nkv, rep, hd), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(scalars, qg, k_pool, v_pool)
+    out = _paged_call(
+        qg, (k_pool, v_pool), pos, page_tables, layer,
+        partial(_kernel_tiled, c=ps, nc=mp, hb=hb),
+        hb, quant=False, t=1, interpret=interpret)
     return out.reshape(b, nh * hd)
-
-
-def _kernel_q8(sc_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
-               acc_ref, m_ref, l_ref, *, ps: int, mp: int, nb: int,
-               t: int = 1):
-    """INT8-pool variant: K/V pages stream as int8 (half the HBM bytes) with
-    per-row f32 scales applied after the matmuls — per score column for K,
-    per probability column for V (same scheme as decode_attention_q8)."""
-    b = pl.program_id(0)
-    p = pl.program_id(2)
-    pos = sc_ref[b]
-    last = jnp.minimum((pos + t - 1) // ps, mp - 1)
-
-    @pl.when(p == 0)
-    def _():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-        m_ref[...] = jnp.full_like(m_ref, -1e30)
-        l_ref[...] = jnp.zeros_like(l_ref)
-
-    @pl.when(p <= last)
-    def _():
-        q = q_ref[0, 0]                    # (tr, hd); tr = t*rep
-        k = k_ref[0, 0, 0]                 # (ps, hd) int8
-        v = v_ref[0, 0, 0]
-        ks = ks_ref[0, 0, 0]               # (1, ps) f32
-        vs = vs_ref[0, 0, 0]
-        tr, hd = q.shape
-
-        scores = jax.lax.dot_general(
-            q, k.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * (ks / np.sqrt(hd))
-        if t == 1:
-            g = p * ps + jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
-            mask = g <= pos
-        else:
-            mask = _chunk_mask(pos, p * ps, ps, tr, tr // t)
-        scores = jnp.where(mask, scores, -1e30)
-
-        m_prev = m_ref[:, :1]
-        l_prev = l_ref[:, :1]
-        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        e = jnp.exp(scores - m_new)
-        l_new = alpha * l_prev + jnp.sum(e, axis=-1, keepdims=True)
-        pv = jax.lax.dot_general(
-            (e * vs).astype(jnp.bfloat16), v.astype(jnp.bfloat16),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        acc_ref[...] = alpha * acc_ref[...] + pv
-        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
-        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
-
-    @pl.when(p == nb - 1)
-    def _():
-        o_ref[0, 0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
 
 
 def paged_decode_attention_layer_q8(q: jax.Array, k_pool: jax.Array,
@@ -228,58 +144,12 @@ def paged_decode_attention_layer_q8(q: jax.Array, k_pool: jax.Array,
     nkv, ps = k_pool.shape[2], k_pool.shape[3]
     mp = page_tables.shape[1]
     rep = nh // nkv
+    hb = _pick_heads_q8(nkv, ps * (2 * hd + 8))
     qg = q.reshape(b, nkv, rep, hd)
-
-    scalars = jnp.concatenate([
-        pos.astype(jnp.int32),
-        jnp.maximum(page_tables, 0).reshape(-1).astype(jnp.int32),
-        layer.reshape(1).astype(jnp.int32)])
-
-    def page_index(bi, j, p, sc):
-        last = jnp.minimum(sc[bi] // ps, mp - 1)
-        pp = jnp.minimum(p, last)
-        return sc[b + bi * mp + pp]
-
-    def kv_spec():
-        return pl.BlockSpec(
-            (1, 1, 1, ps, hd),
-            lambda bi, j, p, sc: (sc[sc.shape[0] - 1], page_index(bi, j, p, sc),
-                                  j, 0, 0))
-
-    def sc_spec():
-        return pl.BlockSpec(
-            (1, 1, 1, 1, ps),
-            lambda bi, j, p, sc: (sc[sc.shape[0] - 1], page_index(bi, j, p, sc),
-                                  j, 0, 0))
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b, nkv, mp),
-        in_specs=[
-            pl.BlockSpec((1, 1, rep, hd), lambda bi, j, p, sc: (bi, j, 0, 0)),
-            kv_spec(),
-            kv_spec(),
-            sc_spec(),
-            sc_spec(),
-        ],
-        out_specs=pl.BlockSpec((1, 1, rep, hd),
-                               lambda bi, j, p, sc: (bi, j, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((rep, hd), jnp.float32),
-            pltpu.VMEM((rep, 128), jnp.float32),
-            pltpu.VMEM((rep, 128), jnp.float32),
-        ],
-    )
-    out = pl.pallas_call(
-        partial(_kernel_q8, ps=ps, mp=mp, nb=mp),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, nkv, rep, hd), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(scalars, qg, k_pool, v_pool,
-      ks_pool[:, :, :, None, :], vs_pool[:, :, :, None, :])
+    out = _paged_call(
+        qg, (k_pool, v_pool, ks_pool, vs_pool), pos, page_tables, layer,
+        partial(_kernel_tiled_q8, c=ps, nc=mp, hb=hb),
+        hb, quant=True, t=1, interpret=interpret)
     return out.reshape(b, nh * hd)
 
 
@@ -294,56 +164,15 @@ def paged_chunk_attention_layer(q: jax.Array, k_pool: jax.Array,
     verifies its drafts through this kernel, so spec_tick composes with the
     paged pool (the reference has neither paging nor speculation). Returns
     (B, T, nh*hd)."""
-    from rama_tpu.ops.pallas.decode_attention import _chunk_rows, _chunk_unrows
-
     b, t, nh, hd = q.shape
     nkv, ps = k_pool.shape[2], k_pool.shape[3]
-    mp = page_tables.shape[1]
     rep = nh // nkv
-    tr = t * rep
-    qg = _chunk_rows(q, nkv)                       # (B, nkv, tr, hd)
-
-    scalars = jnp.concatenate([
-        pos0.astype(jnp.int32),
-        jnp.maximum(page_tables, 0).reshape(-1).astype(jnp.int32),
-        layer.reshape(1).astype(jnp.int32)])
-
-    def page_index(bi, j, p, sc):
-        last = jnp.minimum((sc[bi] + t - 1) // ps, mp - 1)
-        pp = jnp.minimum(p, last)
-        return sc[b + bi * mp + pp]
-
-    def kv_spec():
-        return pl.BlockSpec(
-            (1, 1, 1, ps, hd),
-            lambda bi, j, p, sc: (sc[sc.shape[0] - 1], page_index(bi, j, p, sc),
-                                  j, 0, 0))
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b, nkv, mp),
-        in_specs=[
-            pl.BlockSpec((1, 1, tr, hd), lambda bi, j, p, sc: (bi, j, 0, 0)),
-            kv_spec(),
-            kv_spec(),
-        ],
-        out_specs=pl.BlockSpec((1, 1, tr, hd),
-                               lambda bi, j, p, sc: (bi, j, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((tr, hd), jnp.float32),
-            pltpu.VMEM((tr, 128), jnp.float32),
-            pltpu.VMEM((tr, 128), jnp.float32),
-        ],
-    )
-    out = pl.pallas_call(
-        partial(_kernel, ps=ps, mp=mp, nb=mp, t=t),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, nkv, tr, hd), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(scalars, qg, k_pool, v_pool)
+    hb = _pick_heads(nkv, 2 * ps * hd * k_pool.dtype.itemsize)
+    qg = _chunk_rows(q, nkv)                       # (B, nkv, t*rep, hd)
+    out = _paged_call(
+        qg, (k_pool, v_pool), pos0, page_tables, layer,
+        partial(_kernel_tiled, c=ps, nc=page_tables.shape[1], hb=hb, t=t),
+        hb, quant=False, t=t, interpret=interpret)
     return _chunk_unrows(out, b, t, nh, hd)
 
 
@@ -353,65 +182,15 @@ def paged_chunk_attention_layer_q8(q: jax.Array, k_pool: jax.Array,
                                    page_tables: jax.Array, layer: jax.Array,
                                    interpret: bool = False) -> jax.Array:
     """paged_chunk_attention_layer over an INT8 page pool."""
-    from rama_tpu.ops.pallas.decode_attention import _chunk_rows, _chunk_unrows
-
     b, t, nh, hd = q.shape
     nkv, ps = k_pool.shape[2], k_pool.shape[3]
-    mp = page_tables.shape[1]
     rep = nh // nkv
-    tr = t * rep
+    hb = _pick_heads_q8(nkv, ps * (2 * hd + 8))
     qg = _chunk_rows(q, nkv)
-
-    scalars = jnp.concatenate([
-        pos0.astype(jnp.int32),
-        jnp.maximum(page_tables, 0).reshape(-1).astype(jnp.int32),
-        layer.reshape(1).astype(jnp.int32)])
-
-    def page_index(bi, j, p, sc):
-        last = jnp.minimum((sc[bi] + t - 1) // ps, mp - 1)
-        pp = jnp.minimum(p, last)
-        return sc[b + bi * mp + pp]
-
-    def kv_spec():
-        return pl.BlockSpec(
-            (1, 1, 1, ps, hd),
-            lambda bi, j, p, sc: (sc[sc.shape[0] - 1], page_index(bi, j, p, sc),
-                                  j, 0, 0))
-
-    def sc_spec():
-        return pl.BlockSpec(
-            (1, 1, 1, 1, ps),
-            lambda bi, j, p, sc: (sc[sc.shape[0] - 1], page_index(bi, j, p, sc),
-                                  j, 0, 0))
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b, nkv, mp),
-        in_specs=[
-            pl.BlockSpec((1, 1, tr, hd), lambda bi, j, p, sc: (bi, j, 0, 0)),
-            kv_spec(),
-            kv_spec(),
-            sc_spec(),
-            sc_spec(),
-        ],
-        out_specs=pl.BlockSpec((1, 1, tr, hd),
-                               lambda bi, j, p, sc: (bi, j, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((tr, hd), jnp.float32),
-            pltpu.VMEM((tr, 128), jnp.float32),
-            pltpu.VMEM((tr, 128), jnp.float32),
-        ],
-    )
-    out = pl.pallas_call(
-        partial(_kernel_q8, ps=ps, mp=mp, nb=mp, t=t),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, nkv, tr, hd), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(scalars, qg, k_pool, v_pool,
-      ks_pool[:, :, :, None, :], vs_pool[:, :, :, None, :])
+    out = _paged_call(
+        qg, (k_pool, v_pool, ks_pool, vs_pool), pos0, page_tables, layer,
+        partial(_kernel_tiled_q8, c=ps, nc=page_tables.shape[1], hb=hb, t=t),
+        hb, quant=True, t=t, interpret=interpret)
     return _chunk_unrows(out, b, t, nh, hd)
 
 
