@@ -86,6 +86,13 @@ class EngineConfig:
     paged_kv: bool = False          # page-pool cache instead of dense slots
     kv_page_size: int = 128
     kv_num_pages: int | None = None  # None -> worst case (batch * pages/slot)
+    # Chunked prefill: prompts longer than this admit through a background
+    # prefill job — one (k, prefill_chunk) forward per engine loop iteration
+    # interleaved with decode ticks — so a 2048-token admission stalls active
+    # streams by one chunk (~35 ms at 7B) instead of one whole-prompt
+    # dispatch (~280 ms). 0 = off (whole-prompt bucketed prefill only).
+    # Must be a power of two >= 16 when set.
+    prefill_chunk: int = 0
 
     # Compute knobs.
     dtype: str = "bfloat16"  # activation / weight compute dtype

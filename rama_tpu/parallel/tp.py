@@ -499,6 +499,81 @@ def make_paged_prefill_insert(cfg: ModelConfig, mesh: Mesh, params_example,
     return pfi
 
 
+def make_prefill_chunk_step(cfg: ModelConfig, mesh: Mesh, params_example):
+    """TP+DP chunk step of a background prefill job (the mesh counterpart
+    of runtime.engine._prefill_chunk_step): forward (k, C) prompt columns
+    [off, off+C) through the shard_mapped forward into the job's persistent
+    sharded scratch, capturing true-last logits into the (k, V) buffer.
+    `off` is traced — one compiled program per (k, C).
+
+    Returns step(params, tokens_chunk (k, C), true_lens (k,), off (),
+    scratch, last (k, V)) -> (scratch, last)."""
+    pspecs = param_specs(params_example)
+    cspec = cache_spec()
+
+    def inner(params, tokens, pos_index, cache):
+        return forward(params, cfg, tokens, pos_index, cache,
+                       tp_axis=MODEL_AXIS)
+
+    mapped = jax.shard_map(
+        inner, mesh=mesh,
+        in_specs=(pspecs, P(DATA_AXIS, None), P(DATA_AXIS, None), cspec),
+        out_specs=(P(DATA_AXIS, None, None), cspec),
+        check_vma=False)
+
+    @partial(jax.jit, donate_argnames=("scratch", "last"))
+    def step(params, tokens_chunk, true_lens, off, scratch, last):
+        k, c = tokens_chunk.shape
+        t_pad = scratch.k.shape[3]
+        idx = off + jnp.arange(c, dtype=jnp.int32)[None, :]
+        pos_index = jnp.where(idx < true_lens[:, None], idx, t_pad - 1)
+        logits, scratch = mapped(params, tokens_chunk, pos_index, scratch)
+        sel = true_lens - 1 - off
+        take = jnp.take_along_axis(
+            logits, jnp.clip(sel, 0, c - 1)[:, None, None], axis=1)[:, 0]
+        last = jnp.where(((sel >= 0) & (sel < c))[:, None], take, last)
+        return scratch, last
+
+    return step
+
+
+def make_paged_prefill_finish(cfg: ModelConfig, mesh: Mesh,
+                              kv_quant: bool = False):
+    """Finish a chunked-prefill job against the data-sharded page pool:
+    sample firsts from the captured last-position logits and shard_map the
+    per-slot page scatters (rows_dp: (k, dp, max_pages) LOCAL rows, see
+    make_paged_prefill_insert).
+
+    Returns fin(last (k, V), true_lens, temps, top_ps, slot_keys (k, 2),
+    rows_dp, scratch, cache) -> (firsts (k,), cache)."""
+    from rama_tpu.runtime.paged import _insert_prefill_paged_impl
+
+    cspec = paged_cache_spec(kv_quant)
+    strip = P(None, MODEL_AXIS, None, None)
+
+    def inner_ins(cache, k_strip, v_strip, rows):
+        return _insert_prefill_paged_impl(cache, k_strip, v_strip, rows[0])
+
+    mapped_ins = jax.shard_map(
+        inner_ins, mesh=mesh,
+        in_specs=(cspec, strip, strip, P(DATA_AXIS, None)),
+        out_specs=cspec, check_vma=False)
+
+    @partial(jax.jit, donate_argnames=("cache", "scratch"))
+    def fin(last, true_lens, temps, top_ps, slot_keys, rows_dp, scratch,
+            cache):
+        keys = fold_in_pos(slot_keys, true_lens - 1)
+        firsts = sample_batched_keyed(last, keys, temps, top_ps)
+        ps = cache.page_size
+        t_ins = min(scratch.k.shape[3], rows_dp.shape[2] * ps)
+        for j in range(rows_dp.shape[0]):
+            cache = mapped_ins(cache, scratch.k[:, j, :, :t_ins],
+                               scratch.v[:, j, :, :t_ins], rows_dp[j])
+        return firsts, cache
+
+    return fin
+
+
 def make_prefill(cfg: ModelConfig, mesh: Mesh, params_example,
                  kv_quant: bool = False):
     """Build the jitted TP prefill over a (B, T) prompt chunk from pos 0.

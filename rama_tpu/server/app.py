@@ -150,6 +150,7 @@ def load_engine(model_path: str, tokenizer_path: str, quant: str = "auto",
                 max_seq_len: int | None = None, paged: bool = False,
                 page_size: int = 128, tp: int = 1, dp: int = 1,
                 kv_quant: str | None = None, spec_tick: int = 0,
+                prefill_chunk: int = 0,
                 compile_cache: str | None = None) -> Engine:
     import jax.numpy as jnp
 
@@ -176,6 +177,7 @@ def load_engine(model_path: str, tokenizer_path: str, quant: str = "auto",
                         max_batch_size=batch, max_seq_len=max_seq_len,
                         paged_kv=paged, kv_page_size=page_size, tp_size=tp,
                         dp_size=dp, kv_quant=kv_quant, spec_tick=spec_tick,
+                        prefill_chunk=prefill_chunk,
                         compile_cache=compile_cache)
     return Engine(cfg, params, tokenizer, ecfg)
 
@@ -203,6 +205,12 @@ def main(argv=None):
     ap.add_argument("--spec-tick", type=int, default=0,
                     help="speculative serving: n-gram drafts per tick "
                          "verified in one chunk forward (0 = off)")
+    ap.add_argument("--prefill-chunk", type=int, default=0,
+                    help="chunked prefill: prompts longer than this admit "
+                         "through a background job interleaved with decode "
+                         "ticks, so a long admission stalls active streams "
+                         "by one chunk instead of a whole-prompt dispatch "
+                         "(0 = off; power of two >= 16)")
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel degree (weights + KV heads sharded "
                          "over the `model` mesh axis)")
@@ -240,6 +248,7 @@ def main(argv=None):
                          paged=args.paged, page_size=args.page_size,
                          tp=args.tp, dp=args.dp, kv_quant=args.kv_quant,
                          spec_tick=args.spec_tick,
+                         prefill_chunk=args.prefill_chunk,
                          compile_cache=args.compile_cache)
     if not is_primary():
         # follower host: no HTTP frontend; replay the primary's device calls

@@ -4,6 +4,11 @@
 # generous timeout and one retry (the axon tunnel stalls for hours sometimes
 # — NEXT.md measurement discipline). One JSON line per config lands in $OUT;
 # full logs per config in /tmp/serve_<tag>.log.
+#
+# Spec configs run at two temperatures: 0.9 bounds the overhead at ~zero
+# n-gram acceptance (PRNG-weight text at high temperature never repeats),
+# 0.0 (greedy) shows the win where the stream loops and drafts land — real
+# checkpoints sit between the two depending on text repetitiveness.
 set -u
 OUT=${OUT:-tools/results/serving_r04.jsonl}
 mkdir -p "$(dirname "$OUT")"
@@ -29,10 +34,11 @@ EOF
   echo "{\"config\": \"$tag\", \"error\": \"failed twice\"}" >> "$OUT"
 }
 
-run_cfg serving_7b int8        --bits 8 --concurrency 8 --requests 32 --steps 64 --port 3419
-run_cfg serving_7b int4        --bits 4 --concurrency 8 --requests 32 --steps 64 --port 3421
-run_cfg serving_7b int8_spec3  --bits 8 --concurrency 8 --requests 32 --steps 64 --spec-tick 3 --port 3423
-run_cfg serving_7b int4_spec3  --bits 4 --concurrency 8 --requests 32 --steps 64 --spec-tick 3 --port 3425
+run_cfg serving_7b int8            --bits 8 --concurrency 8 --requests 32 --steps 64 --port 3419
+run_cfg serving_7b int4            --bits 4 --concurrency 8 --requests 32 --steps 64 --port 3421
+run_cfg serving_7b int8_spec3      --bits 8 --concurrency 8 --requests 32 --steps 64 --spec-tick 3 --port 3423
+run_cfg serving_7b int8_spec3_t0   --bits 8 --concurrency 8 --requests 32 --steps 64 --spec-tick 3 --temperature 0 --port 3425
+run_cfg serving_7b int4_spec3_t0   --bits 4 --concurrency 8 --requests 32 --steps 64 --spec-tick 3 --temperature 0 --port 3427
 run_cfg longctx    longctx_int8_kv8  --bits 8 --kv int8
 run_cfg longctx    longctx_int4_kvbf16 --bits 4 --kv bf16
 echo "SWEEP DONE $(date)" >> /tmp/serve_sweep.log
