@@ -546,11 +546,15 @@ class Engine:
         self._hist_cap = self.max_len + max(self.spec, 1) + 1
         # bounded admission queue — reference uses bounded(30), main.rs:68
         self.admission: "queue.Queue[Request]" = queue.Queue(maxsize=30)
-        # Per-slot stream keys: request r gets fold_in(base, r); every sample
-        # for that request is then keyed by fold_in(slot_key, position), so
-        # its stream is one deterministic sequence however the engine groups
-        # steps into dispatches (tick size, speculation, chaining).
-        self.base_key = np.asarray(jax.random.PRNGKey(self.ecfg.seed))
+        # Per-slot stream keys: request r gets a host-derived uint32[2] raw
+        # key from (seed, r) — any deterministic unique pair is a valid raw
+        # key; deriving it with jax.random.fold_in dispatched a device op
+        # per admitted request (~25-50 ms of idle device over a remote-TPU
+        # tunnel, measured as most of the serving admit phase). Every sample
+        # for the request is then keyed by fold_in(slot_key, position)
+        # INSIDE the compiled step, so its stream is one deterministic
+        # sequence however the engine groups steps into dispatches (tick
+        # size, speculation, chaining).
         self.slot_keys = np.zeros((b, 2), np.uint32)
         self.req_counter = 0
         # pipelined-tick state: the dispatched-but-unfetched tick (primary)
@@ -919,9 +923,9 @@ class Engine:
         entries = []
         for slot_idx, slot, req in batch:
             ids = [BOS_ID] + req.prompt_ids
-            key = np.asarray(
-                jax.random.fold_in(self.base_key, self.req_counter),
-                np.uint32)
+            key = np.random.default_rng(
+                (self.ecfg.seed, self.req_counter)).integers(
+                    0, 1 << 32, size=2, dtype=np.uint32)
             self.req_counter += 1
             row = None
             if self.paged:
