@@ -229,30 +229,30 @@ def _kernel_tiled(sc_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
             m_ref[...] = jnp.broadcast_to(m_new[:, None], m_ref.shape)
             l_ref[...] = jnp.broadcast_to(l_new[:, None], l_ref.shape)
             return
-        for h in range(hb):
-            q = q_ref[0, h]                    # (rep, hd)
-            k = k_ref[0, 0, h]                 # (c, hd)
-            v = v_ref[0, 0, h]
-            rep_, hd = q.shape
-
-            scores = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) / np.sqrt(hd)  # (rep, c)
-            scores = jnp.where(mask, scores, -1e30)
-
-            m_prev = m_ref[h, :, :1]
-            l_prev = l_ref[h, :, :1]
-            m_new = jnp.maximum(m_prev,
-                                jnp.max(scores, axis=-1, keepdims=True))
-            alpha = jnp.exp(m_prev - m_new)
-            e = jnp.exp(scores - m_new)
-            l_new = alpha * l_prev + jnp.sum(e, axis=-1, keepdims=True)
-            pv = jax.lax.dot_general(
-                e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc_ref[h] = alpha * acc_ref[h] + pv
-            m_ref[h] = jnp.broadcast_to(m_new, m_ref.shape[1:])
-            l_ref[h] = jnp.broadcast_to(l_new, l_ref.shape[1:])
+        # batched GQA/chunk path: ONE (hb)-batched MXU dot per matmul over
+        # all tr = t*rep query rows (hb per-head (tr, c) dots measured ~3x
+        # slower at 7B shapes — the _heads_vectorized lesson, generalized)
+        dd = jnp.float32 if k_ref.dtype == jnp.float32 else jnp.bfloat16
+        q = q_ref[0].astype(dd)                        # (hb, tr, hd)
+        k = k_ref[0, 0].astype(dd)                     # (hb, c, hd)
+        v = v_ref[0, 0].astype(dd)
+        hd = q.shape[-1]
+        scores = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) / np.sqrt(hd)   # (hb, tr, c)
+        scores = jnp.where(mask[None], scores, -1e30)
+        m_prev = m_ref[:, :, :1]                       # (hb, tr, 1)
+        l_prev = l_ref[:, :, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        e = jnp.exp(scores - m_new)
+        l_new = alpha * l_prev + jnp.sum(e, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            e.astype(dd), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)        # (hb, tr, hd)
+        acc_ref[...] = alpha * acc_ref[...] + pv
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
 
     @pl.when(p == nc - 1)
     def _():
@@ -521,32 +521,32 @@ def _kernel_tiled_q8(sc_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
             m_ref[...] = jnp.broadcast_to(m_new[:, None], m_ref.shape)
             l_ref[...] = jnp.broadcast_to(l_new[:, None], l_ref.shape)
             return
-        for h in range(hb):
-            q = q_ref[0, h]                    # (rep, hd)
-            k = k_ref[0, 0, h]                 # (c, hd) int8
-            v = v_ref[0, 0, h]
-            ks = ks_ref[0, 0, h:h + 1]         # (1, c)
-            vs = vs_ref[0, 0, h:h + 1]
-            rep_, hd = q.shape
-
-            scores = jax.lax.dot_general(
-                q, k.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * (ks / np.sqrt(hd))
-            scores = jnp.where(mask, scores, -1e30)
-
-            m_prev = m_ref[h, :, :1]
-            l_prev = l_ref[h, :, :1]
-            m_new = jnp.maximum(m_prev,
-                                jnp.max(scores, axis=-1, keepdims=True))
-            alpha = jnp.exp(m_prev - m_new)
-            e = jnp.exp(scores - m_new)
-            l_new = alpha * l_prev + jnp.sum(e, axis=-1, keepdims=True)
-            pv = jax.lax.dot_general(
-                (e * vs).astype(jnp.bfloat16), v.astype(jnp.bfloat16),
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-            acc_ref[h] = alpha * acc_ref[h] + pv
-            m_ref[h] = jnp.broadcast_to(m_new, m_ref.shape[1:])
-            l_ref[h] = jnp.broadcast_to(l_new, l_ref.shape[1:])
+        # batched GQA/chunk path (see _kernel_tiled): one hb-batched MXU dot
+        # per matmul over all tr rows, scales applied per score/prob column
+        q = q_ref[0].astype(jnp.bfloat16)              # (hb, tr, hd)
+        k = k_ref[0, 0].astype(jnp.bfloat16)           # (hb, c, hd)
+        v = v_ref[0, 0].astype(jnp.bfloat16)
+        ks = ks_ref[0, 0]                              # (hb, c)
+        vs = vs_ref[0, 0]
+        hd = q.shape[-1]
+        scores = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * (ks[:, None, :]
+                                                   / np.sqrt(hd))
+        scores = jnp.where(mask[None], scores, -1e30)  # (hb, tr, c)
+        m_prev = m_ref[:, :, :1]
+        l_prev = l_ref[:, :, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        e = jnp.exp(scores - m_new)
+        l_new = alpha * l_prev + jnp.sum(e, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            (e * vs[:, None, :]).astype(jnp.bfloat16), v,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)        # (hb, tr, hd)
+        acc_ref[...] = alpha * acc_ref[...] + pv
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
 
     @pl.when(p == nc - 1)
     def _():

@@ -184,10 +184,15 @@ def _spec_round(params, cfg: ModelConfig, carry, temps, top_ps, slot_keys,
     drafts = jax.vmap(lambda h, n: ngram_propose(h, n, k))(hist, pos + 1)
     chunk = jnp.concatenate([tokens[:, None], drafts], axis=1)   # (B, k+1)
     logits, cache = forward_fn(params, cfg, chunk, pos, cache)   # (B,T,V)
-    samples = jnp.stack([
-        sample_batched_keyed(logits[:, j], fold_in_pos(slot_keys, pos + j),
-                             temps, top_ps)
-        for j in range(k + 1)])                                  # (k+1, B)
+    # all k+1 positions sample in ONE batched top-p call (one (B*(k+1), V)
+    # sort instead of k+1 (B, V) sorts; identical keys -> identical stream)
+    pos_mat = pos[:, None] + jnp.arange(k + 1, dtype=jnp.int32)[None, :]
+    keys_flat = fold_in_pos(jnp.repeat(slot_keys, k + 1, axis=0),
+                            pos_mat.reshape(-1))
+    flat = sample_batched_keyed(logits.reshape(b * (k + 1), -1), keys_flat,
+                                jnp.repeat(temps, k + 1),
+                                jnp.repeat(top_ps, k + 1))
+    samples = flat.reshape(b, k + 1).T                           # (k+1, B)
     ok = (chunk[:, 1:].T == samples[:k])                         # (k, B)
     accept = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=0), axis=0)
     # samples[j] becomes the input at position pos+1+j once accepted; write

@@ -27,6 +27,41 @@ def sample_greedy(logits: jax.Array) -> jax.Array:
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
+# top-k prefilter width for nucleus sampling: when the nucleus provably
+# closes within the top TOPK_CAP probabilities (or everything past them is
+# below the top-p floor), the CDF walk runs on (B, TOPK_CAP) instead of the
+# full (B, V) sort — the full sort measurably doubles the cost of sampled
+# serving ticks at V=32000. A lax.cond falls back to the exact full sort
+# whenever ANY row's nucleus might extend past the cap, so results are
+# BIT-IDENTICAL to the always-full-sort path.
+TOPK_CAP = 1024
+
+
+def _nucleus_walk(sp: jax.Array, si: jax.Array, u: jax.Array, tp: jax.Array,
+                  cutoff: jax.Array) -> jax.Array:
+    """Reference CDF walk over descending probs sp (B, W) with ids si:
+    drop probs <= cutoff, cut at the first prefix whose cumulative mass
+    exceeds top_p, draw r = u * cum_prob, walk (infer.rs:55-85)."""
+    keep = sp > cutoff
+    spk = jnp.where(keep, sp, 0.0)
+    csum = jnp.cumsum(spk, axis=-1)
+
+    # last_index: first prefix with csum > top_p, else the last kept entry
+    over = csum > tp
+    n_kept = jnp.maximum(jnp.sum(keep, axis=-1), 1)
+    first_over = jnp.argmax(over, axis=-1)
+    last_index = jnp.where(jnp.any(over, axis=-1), first_over, n_kept - 1)
+
+    cum_prob = jnp.take_along_axis(csum, last_index[:, None], axis=-1)[:, 0]
+    r = u * cum_prob
+
+    idx_range = jnp.arange(sp.shape[-1])[None, :]
+    candidate = (r[:, None] < csum) & (idx_range <= last_index[:, None]) & keep
+    pick = jnp.where(jnp.any(candidate, axis=-1),
+                     jnp.argmax(candidate, axis=-1), last_index)
+    return jnp.take_along_axis(si, pick[:, None], axis=-1)[:, 0].astype(jnp.int32)
+
+
 def _top_p_from_u(logits: jax.Array, u: jax.Array,
                   temperature: float | jax.Array,
                   top_p: float | jax.Array) -> jax.Array:
@@ -42,30 +77,29 @@ def _top_p_from_u(logits: jax.Array, u: jax.Array,
     probs = jax.nn.softmax(logits * scale, axis=-1)
 
     cutoff = (1.0 - tp) / (v - 1)
-    # one key/value sort gives both the descending probs and their ids
-    # (a separate sort + argsort measurably doubles the dominant cost of
-    # sampled serving ticks — the (B, V) sort)
-    nsp, si = jax.lax.sort_key_val(-probs, jnp.broadcast_to(
-        jnp.arange(v, dtype=jnp.int32), probs.shape), dimension=-1)
-    sp = -nsp                                        # descending probs
-    keep = sp > cutoff
-    spk = jnp.where(keep, sp, 0.0)
-    csum = jnp.cumsum(spk, axis=-1)
+    if v <= 2 * TOPK_CAP:
+        # small vocab: one key/value sort (a separate sort + argsort
+        # measurably doubled the cost of sampled serving ticks)
+        nsp, si = jax.lax.sort_key_val(-probs, jnp.broadcast_to(
+            jnp.arange(v, dtype=jnp.int32), probs.shape), dimension=-1)
+        return _nucleus_walk(-nsp, si, u, tp, cutoff)
 
-    # last_index: first prefix with csum > top_p, else the last kept entry
-    over = csum > tp
-    n_kept = jnp.maximum(jnp.sum(keep, axis=-1), 1)
-    first_over = jnp.argmax(over, axis=-1)
-    last_index = jnp.where(jnp.any(over, axis=-1), first_over, n_kept - 1)  # (B,)
+    topv, topi = jax.lax.top_k(probs, TOPK_CAP)      # descending, stable
+    kept_cap = jnp.where(topv > cutoff, topv, 0.0)
+    # a row is exact within the cap iff everything past the cap is dropped
+    # by the top-p floor, or the nucleus closes before the cap
+    row_exact = ((topv[:, -1] <= cutoff[:, 0])
+                 | (jnp.sum(kept_cap, axis=-1) > tp[:, 0]))
 
-    cum_prob = jnp.take_along_axis(csum, last_index[:, None], axis=-1)[:, 0]
-    r = u * cum_prob
+    def capped(_):
+        return _nucleus_walk(topv, topi, u, tp, cutoff)
 
-    idx_range = jnp.arange(v)[None, :]
-    candidate = (r[:, None] < csum) & (idx_range <= last_index[:, None]) & keep
-    pick = jnp.where(jnp.any(candidate, axis=-1),
-                     jnp.argmax(candidate, axis=-1), last_index)
-    return jnp.take_along_axis(si, pick[:, None], axis=-1)[:, 0].astype(jnp.int32)
+    def full(_):
+        nsp, si = jax.lax.sort_key_val(-probs, jnp.broadcast_to(
+            jnp.arange(v, dtype=jnp.int32), probs.shape), dimension=-1)
+        return _nucleus_walk(-nsp, si, u, tp, cutoff)
+
+    return jax.lax.cond(jnp.all(row_exact), capped, full, operand=None)
 
 
 def sample_top_p(logits: jax.Array, key: jax.Array, temperature: float | jax.Array,

@@ -91,3 +91,35 @@ def test_batched_shapes():
     out = sample_top_p(logits, jax.random.PRNGKey(0), 0.9, 0.9)
     assert out.shape == (4,)
     assert out.dtype == jnp.int32
+
+
+def test_topk_prefilter_bit_identical_to_full_sort(rng):
+    """The TOPK_CAP prefilter path must pick the exact token the full-sort
+    path picks, for peaked (capped branch) AND flat (fallback branch)
+    distributions at a large vocab."""
+    import numpy as np
+
+    from rama_tpu.runtime.sampler import _nucleus_walk, _top_p_from_u
+
+    v, b = 8192, 8
+
+    def full_sort_reference(logits, u, temp, tp_):
+        logits = jnp.asarray(logits, jnp.float32)
+        tp = jnp.full((b, 1), tp_, jnp.float32)
+        scale = 1.0 / temp if temp < 1.0 else 1.0
+        probs = jax.nn.softmax(logits * scale, axis=-1)
+        nsp, si = jax.lax.sort_key_val(
+            -probs, jnp.broadcast_to(jnp.arange(v, dtype=jnp.int32),
+                                     probs.shape), dimension=-1)
+        return _nucleus_walk(-nsp, si, jnp.asarray(u, jnp.float32), tp,
+                             (1.0 - tp) / (v - 1))
+
+    for case, scale in (("peaked", 8.0), ("flat", 0.05)):
+        logits = rng.standard_normal((b, v)).astype(np.float32) * scale
+        for seed in range(5):
+            u = np.random.default_rng(seed).uniform(size=b)
+            got = _top_p_from_u(jnp.asarray(logits), jnp.asarray(u, jnp.float32),
+                                0.9, 0.9)
+            want = full_sort_reference(logits, u, 0.9, 0.9)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                          err_msg=case)
