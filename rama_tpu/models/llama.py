@@ -784,10 +784,13 @@ def _forward_chunk_fused(params: Params, cfg: ModelConfig, tokens: jax.Array,
             ks_c, vs_c = cv[2], cv[3]
             kq, ksc = kv_quant_rows(k)           # (B,T,nkv,hd), (B,T,nkv)
             vq, vsc = kv_quant_rows(v)
-            k_c = k_c.at[l, bi, hi, pi].set(kq)
-            v_c = v_c.at[l, bi, hi, pi].set(vq)
-            ks_c = ks_c.at[l, bi, hi, pi].set(ksc)
-            vs_c = vs_c.at[l, bi, hi, pi].set(vsc)
+            # same scatter-vs-in-place story as the T=1 decode path: XLA's
+            # int8 scatter materializes the whole layer slice per chunk
+            from rama_tpu.ops.pallas.kv_write import write_kv_chunk_q8
+
+            k_c, v_c, ks_c, vs_c = write_kv_chunk_q8(
+                k_c, v_c, ks_c, vs_c, kq, vq, ksc, vsc, pos0, l,
+                interpret=_interpret)
             cv = (k_c, v_c, ks_c, vs_c)
             if k_c.shape[3] > 256:
                 att = chunk_attention_layer_tiled_q8(

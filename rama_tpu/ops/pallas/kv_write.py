@@ -102,3 +102,98 @@ def write_kv_rows_q8(k8, v8, ks, vs, kq, vq, ksc, vsc, pos, layer, *,
         input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
         interpret=interpret,
     )(scalars, kq, vq, ksc[:, :, None], vsc[:, :, None], k8, v8, ks, vs)
+
+
+def _chunk_kernel(sc_ref, kq_ref, vq_ref, ksc_ref, vsc_ref,
+                  kin_ref, vin_ref, ksin_ref, vsin_ref,
+                  ko_ref, vo_ref, kso_ref, vso_ref,
+                  *, t: int, r: int, cs: int):
+    bi = pl.program_id(0)
+    j = pl.program_id(1)
+    pos = sc_ref[bi]
+    nkv, hd = kq_ref.shape[2], kq_ref.shape[3]
+    tile = (pos + j * (t - 1)) // r
+    ctile = (pos + j * (t - 1)) // cs
+
+    ri = jax.lax.broadcasted_iota(jnp.int32, (nkv, r, hd), 1)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (nkv, cs), 1)
+    ko, vo = kin_ref[0, 0], vin_ref[0, 0]
+    kso, vso = ksin_ref[0, 0], vsin_ref[0, 0]
+    for q in range(t):
+        # chunk row q lands at global row pos+q; rows outside this j-window
+        # produce no iota match and fall through to the carried window
+        sel = ri == pos + q - tile * r
+        ko = jnp.where(sel, kq_ref[0, q][:, None, :], ko)
+        vo = jnp.where(sel, vq_ref[0, q][:, None, :], vo)
+        selc = ci == pos + q - ctile * cs
+        kso = jnp.where(selc, ksc_ref[0, q], kso)
+        vso = jnp.where(selc, vsc_ref[0, q], vso)
+    ko_ref[0, 0], vo_ref[0, 0] = ko, vo
+    kso_ref[0, 0], vso_ref[0, 0] = kso, vso
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def write_kv_chunk_q8(k8, v8, ks, vs, kq, vq, ksc, vsc, pos0, layer, *,
+                      interpret: bool = False):
+    """Write a T-row chunk (T <= 8 consecutive positions per slot) into the
+    stacked int8 cache in place — the speculative-verification companion of
+    `write_kv_rows_q8`.
+
+    k8/v8 (L, B, nkv, S, hd) int8 and ks/vs (L, B, nkv, S) f32 are DONATED
+    and updated at [layer, b, :, pos0[b]+q] for q in [0, T). kq/vq
+    (B, T, nkv, hd) int8 rows; ksc/vsc (B, T, nkv) f32 row scales. The
+    T rows may straddle one 32-row sublane-tile (or 128-col scale-tile)
+    boundary, so the grid visits two windows per slot — the window holding
+    pos0 and the one holding pos0+T-1 (the same window twice when no
+    straddle; the second visit rewrites identical bytes). XLA lowers the
+    equivalent `.at[l, bi, hi, pi].set(...)` int8 scatter to a whole-layer
+    broadcast+select (~34 MB materialized per layer at 7B b=8 S=512); this
+    writes ~2x 32-row stripes per slot instead.
+    """
+    L, B, nkv, S, hd = k8.shape
+    t = kq.shape[1]
+    r = 32 if S % 32 == 0 else S
+    cs = 128 if S % 128 == 0 else S
+    scalars = jnp.concatenate([pos0.astype(jnp.int32),
+                               layer.reshape(1).astype(jnp.int32)])
+    li = lambda sc: sc[sc.shape[0] - 1]
+
+    def row_idx(bi, j, sc):
+        return (li(sc), bi, 0, (sc[bi] + j * (t - 1)) // r, 0)
+
+    def col_idx(bi, j, sc):
+        return (li(sc), bi, 0, (sc[bi] + j * (t - 1)) // cs)
+
+    new_idx = lambda bi, j, sc: (bi, 0, 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, 2),
+        in_specs=[
+            pl.BlockSpec((1, t, nkv, hd), new_idx),
+            pl.BlockSpec((1, t, nkv, hd), new_idx),
+            pl.BlockSpec((1, t, nkv, 1), new_idx),
+            pl.BlockSpec((1, t, nkv, 1), new_idx),
+            pl.BlockSpec((1, 1, nkv, r, hd), row_idx),
+            pl.BlockSpec((1, 1, nkv, r, hd), row_idx),
+            pl.BlockSpec((1, 1, nkv, cs), col_idx),
+            pl.BlockSpec((1, 1, nkv, cs), col_idx),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, nkv, r, hd), row_idx),
+            pl.BlockSpec((1, 1, nkv, r, hd), row_idx),
+            pl.BlockSpec((1, 1, nkv, cs), col_idx),
+            pl.BlockSpec((1, 1, nkv, cs), col_idx),
+        ],
+    )
+    return pl.pallas_call(
+        partial(_chunk_kernel, t=t, r=r, cs=cs),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k8.shape, k8.dtype),
+            jax.ShapeDtypeStruct(v8.shape, v8.dtype),
+            jax.ShapeDtypeStruct(ks.shape, ks.dtype),
+            jax.ShapeDtypeStruct(vs.shape, vs.dtype),
+        ],
+        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+        interpret=interpret,
+    )(scalars, kq, vq, ksc[..., None], vsc[..., None], k8, v8, ks, vs)

@@ -155,3 +155,36 @@ def test_write_kv_rows_q8_matches_scatter(s):
                 ks.at[l, bi, hi, pi].set(ksc), vs.at[l, bi, hi, pi].set(vsc))
         for g, w in zip(got, want):
             assert np.array_equal(np.asarray(g), np.asarray(w))
+
+
+@pytest.mark.parametrize("s,t", [(24, 3), (64, 4), (256, 8), (256, 2)])
+def test_write_kv_chunk_q8_matches_scatter(s, t):
+    """The T<=8 chunk writer (speculative-verification path) must byte-match
+    the XLA scatter, including chunks that straddle a 32-row sublane tile
+    (pos 30 with t>=3) and the 128-col scale tile (pos 126, s=256)."""
+    from rama_tpu.ops.pallas.kv_write import write_kv_chunk_q8
+
+    rng = np.random.default_rng(11)
+    L, B, nkv, hd = 3, 4, 2, 128
+    k8 = jnp.asarray(rng.integers(-127, 128, (L, B, nkv, s, hd)), jnp.int8)
+    v8 = jnp.asarray(rng.integers(-127, 128, (L, B, nkv, s, hd)), jnp.int8)
+    ks = jnp.asarray(rng.standard_normal((L, B, nkv, s)), jnp.float32)
+    vs = jnp.asarray(rng.standard_normal((L, B, nkv, s)), jnp.float32)
+    kq = jnp.asarray(rng.integers(-127, 128, (B, t, nkv, hd)), jnp.int8)
+    vq = jnp.asarray(rng.integers(-127, 128, (B, t, nkv, hd)), jnp.int8)
+    ksc = jnp.asarray(rng.standard_normal((B, t, nkv)), jnp.float32)
+    vsc = jnp.asarray(rng.standard_normal((B, t, nkv)), jnp.float32)
+    straddle = 30 if s >= 64 else 10       # crosses the 32-row tile for t>=3
+    cstraddle = 126 if s >= 256 else 1     # crosses the 128-col scale tile
+    pos0 = jnp.asarray([0, straddle, cstraddle, s - t], jnp.int32)
+    for l in range(L):
+        li = jnp.int32(l)
+        got = write_kv_chunk_q8(k8, v8, ks, vs, kq, vq, ksc, vsc, pos0, li,
+                                interpret=True)
+        bi = jnp.arange(B)[:, None, None]
+        hi = jnp.arange(nkv)[None, None, :]
+        pi = (pos0[:, None] + jnp.arange(t)[None, :])[:, :, None]
+        want = (k8.at[l, bi, hi, pi].set(kq), v8.at[l, bi, hi, pi].set(vq),
+                ks.at[l, bi, hi, pi].set(ksc), vs.at[l, bi, hi, pi].set(vsc))
+        for g, w in zip(got, want):
+            assert np.array_equal(np.asarray(g), np.asarray(w))
