@@ -116,9 +116,13 @@ class EngineConfig:
     # vmapped n-gram proposer over a per-slot history matrix), so one
     # dispatch scans spec_rounds draft->verify->accept rounds and the fixed
     # host round-trip (~25 ms over a remote-TPU tunnel) amortizes over all
-    # of them — the spec analogue of decode_tick. Clamped to powers of two;
-    # shrunk near token budgets and the cache end (m=0 falls back to the
-    # plain tick). Only read when spec_tick > 0.
+    # of them — the spec analogue of decode_tick. Successive spec dispatches
+    # also CHAIN like plain ticks (the next scan launches from the previous
+    # one's device-resident token/position/history carries before its
+    # samples are fetched), hiding the remaining round-trip entirely while
+    # the admission queue is idle. Clamped to powers of two; shrunk near
+    # token budgets and the cache end (m=0 falls back to the plain tick).
+    # Only read when spec_tick > 0.
     spec_rounds: int = 4
 
     # Parallelism knobs: the engine builds a (dp_size, tp_size) device mesh.

@@ -197,3 +197,113 @@ def write_kv_chunk_q8(k8, v8, ks, vs, kq, vq, ksc, vsc, pos0, layer, *,
         input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
         interpret=interpret,
     )(scalars, kq, vq, ksc[..., None], vsc[..., None], k8, v8, ks, vs)
+
+
+def _paged_kernel(sc_ref, kq_ref, vq_ref, ksc_ref, vsc_ref,
+                  kin_ref, vin_ref, ksin_ref, vsin_ref,
+                  ko_ref, vo_ref, kso_ref, vso_ref,
+                  *, b: int, t: int, r: int, cs: int):
+    bi = pl.program_id(0)
+    j = pl.program_id(1)
+    pos = sc_ref[2 * b + bi]
+    nkv, hd = kq_ref.shape[2], kq_ref.shape[3]
+    # window j covers the position-space stripe holding anchor pos+j*(t-1);
+    # r | page_size, so a stripe never crosses a page boundary and its rows
+    # are contiguous within the physical page the index map selected
+    anchor = pos + j * (t - 1)
+    base = (anchor // r) * r
+    cbase = (anchor // cs) * cs
+
+    ri = jax.lax.broadcasted_iota(jnp.int32, (nkv, r, hd), 1)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (nkv, cs), 1)
+    ko, vo = kin_ref[0, 0], vin_ref[0, 0]
+    kso, vso = ksin_ref[0, 0], vsin_ref[0, 0]
+    for q in range(t):
+        sel = ri == pos + q - base
+        ko = jnp.where(sel, kq_ref[0, q][:, None, :], ko)
+        vo = jnp.where(sel, vq_ref[0, q][:, None, :], vo)
+        selc = ci == pos + q - cbase
+        kso = jnp.where(selc, ksc_ref[0, q], kso)
+        vso = jnp.where(selc, vsc_ref[0, q], vso)
+    ko_ref[0, 0], vo_ref[0, 0] = ko, vo
+    kso_ref[0, 0], vso_ref[0, 0] = kso, vso
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def write_kv_paged_q8(k8, v8, ks, vs, kq, vq, ksc, vsc, pos0, page_tables,
+                      layer, *, interpret: bool = False):
+    """Write a T-row chunk (1 <= T <= 8 consecutive positions per slot) into
+    the int8 PAGE POOL in place — the paged companion of write_kv_chunk_q8.
+
+    k8/v8 (L, P, nkv, ps, hd) int8 pools and ks/vs (L, P, nkv, ps) f32 scale
+    pools are DONATED; row pos0[b]+q of slot b lands in physical page
+    page_tables[b, (pos0[b]+q) // ps] at offset (pos0[b]+q) % ps. kq/vq
+    (B, T, nkv, hd) int8; ksc/vsc (B, T, nkv) f32. Requires T <= ps (the
+    chunk then spans at most two logical pages, and the two windows anchored
+    at pos0 and pos0+T-1 — each a 32-row sublane stripe when 32 | ps, else
+    the whole page — jointly cover every chunk row, whether the straddle is
+    across pages or across stripes). XLA lowers the equivalent int8 pool
+    scatter to a whole-pool-layer broadcast+select (the pool is sized for
+    the long-context working set, so that is strictly worse than the dense
+    cache's); this DMAs ~2 stripes per slot.
+    """
+    L, P, nkv, ps, hd = k8.shape
+    B, t = kq.shape[:2]
+    if t > ps:
+        raise ValueError(f"chunk T={t} must be <= page_size={ps}")
+    r = 32 if ps % 32 == 0 else ps
+    cs = 128 if ps % 128 == 0 else ps
+    tables = jnp.maximum(page_tables, 0)
+    mp = tables.shape[1]
+    # physical page of each window anchor, precomputed so the index maps
+    # stay scalar reads (clip mirrors the forward paths' speculative-
+    # overshoot clamp)
+    anchors = pos0[:, None] + jnp.asarray([0, t - 1], jnp.int32)[None, :]
+    phys = jnp.take_along_axis(tables, jnp.minimum(anchors // ps, mp - 1),
+                               axis=1)                          # (B, 2)
+    scalars = jnp.concatenate([phys.T.reshape(-1).astype(jnp.int32),
+                               pos0.astype(jnp.int32),
+                               layer.reshape(1).astype(jnp.int32)])
+    li = lambda sc: sc[sc.shape[0] - 1]
+
+    def row_idx(bi, j, sc):
+        a = sc[2 * B + bi] + j * (t - 1)
+        return (li(sc), sc[j * B + bi], 0, (a % ps) // r, 0)
+
+    def col_idx(bi, j, sc):
+        a = sc[2 * B + bi] + j * (t - 1)
+        return (li(sc), sc[j * B + bi], 0, (a % ps) // cs)
+
+    new_idx = lambda bi, j, sc: (bi, 0, 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, 2),
+        in_specs=[
+            pl.BlockSpec((1, t, nkv, hd), new_idx),
+            pl.BlockSpec((1, t, nkv, hd), new_idx),
+            pl.BlockSpec((1, t, nkv, 1), new_idx),
+            pl.BlockSpec((1, t, nkv, 1), new_idx),
+            pl.BlockSpec((1, 1, nkv, r, hd), row_idx),
+            pl.BlockSpec((1, 1, nkv, r, hd), row_idx),
+            pl.BlockSpec((1, 1, nkv, cs), col_idx),
+            pl.BlockSpec((1, 1, nkv, cs), col_idx),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, nkv, r, hd), row_idx),
+            pl.BlockSpec((1, 1, nkv, r, hd), row_idx),
+            pl.BlockSpec((1, 1, nkv, cs), col_idx),
+            pl.BlockSpec((1, 1, nkv, cs), col_idx),
+        ],
+    )
+    return pl.pallas_call(
+        partial(_paged_kernel, b=B, t=t, r=r, cs=cs),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k8.shape, k8.dtype),
+            jax.ShapeDtypeStruct(v8.shape, v8.dtype),
+            jax.ShapeDtypeStruct(ks.shape, ks.dtype),
+            jax.ShapeDtypeStruct(vs.shape, vs.dtype),
+        ],
+        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+        interpret=interpret,
+    )(scalars, kq, vq, ksc[..., None], vsc[..., None], k8, v8, ks, vs)

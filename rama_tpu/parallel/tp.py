@@ -234,7 +234,8 @@ def make_spec_scan_tick(cfg: ModelConfig, mesh: Mesh, params_example, k: int,
 
     Returns spec(params, tokens (B,), pos (B,), temps, top_ps,
     slot_keys (B, 2), cache, hist (B, cap), m=) ->
-    (samples (m, k+1, B), accepts (m, B), cache, hist)."""
+    (samples (m, k+1, B), accepts (m, B), tokens (B,), pos (B,), cache,
+    hist) — final carries stay device-resident for chained spec ticks."""
     from rama_tpu.models.llama import forward_chunk
     from rama_tpu.runtime.engine import _spec_round
 
@@ -262,9 +263,9 @@ def make_spec_scan_tick(cfg: ModelConfig, mesh: Mesh, params_example, k: int,
             return _spec_round(params, cfg, carry, temps, top_ps, slot_keys,
                                k, fwd)
 
-        (_, _, cache, hist), (samples, accepts) = jax.lax.scan(
+        (tokens, pos, cache, hist), (samples, accepts) = jax.lax.scan(
             body, (tokens, pos, cache, hist), None, length=m)
-        return samples, accepts, cache, hist
+        return samples, accepts, tokens, pos, cache, hist
 
     return spec
 
@@ -347,8 +348,9 @@ def make_paged_spec_scan_tick(cfg: ModelConfig, mesh: Mesh, params_example,
 
     Returns spec(params, tokens (B,), pos (B,), temps, top_ps,
     slot_keys (B, 2), cache, page_tables (B, max_pages), hist (B, cap), m=)
-    -> (samples (m, k+1, B), accepts (m, B), cache, hist). Page tables must
-    cover pos + m*(k+1) (reserved by the host loop before dispatch)."""
+    -> (samples (m, k+1, B), accepts (m, B), tokens (B,), pos (B,), cache,
+    hist). Page tables must cover pos + m*(k+1) (reserved by the host loop
+    before dispatch)."""
     from rama_tpu.runtime.engine import _spec_round
 
     pspecs = param_specs(params_example)
@@ -380,9 +382,9 @@ def make_paged_spec_scan_tick(cfg: ModelConfig, mesh: Mesh, params_example,
             return _spec_round(params, cfg, carry, temps, top_ps, slot_keys,
                                k, fwd)
 
-        (_, _, cache, hist), (samples, accepts) = jax.lax.scan(
+        (tokens, pos, cache, hist), (samples, accepts) = jax.lax.scan(
             body, (tokens, pos, cache, hist), None, length=m)
-        return samples, accepts, cache, hist
+        return samples, accepts, tokens, pos, cache, hist
 
     return spec
 

@@ -215,15 +215,18 @@ def _spec_scan_tick(params, cfg: ModelConfig, tokens, pos, temps, top_ps,
     speculative analogue of the multi-token decode tick. The host loop
     guarantees pos + m*(k+1) <= max_len before dispatch.
 
-    Returns (samples (m, k+1, B), accepts (m, B), cache, hist)."""
+    Returns (samples (m, k+1, B), accepts (m, B), tokens (B,), pos (B,),
+    cache, hist) — the final tokens/pos/hist carries stay device-resident so
+    a chained successor spec tick can dispatch from them before this tick's
+    samples are fetched (the speculative analogue of _dispatch_chained)."""
 
     def body(carry, _):
         return _spec_round(params, cfg, carry, temps, top_ps, slot_keys, k,
                            forward_chunk)
 
-    (_, _, cache, hist), (samples, accepts) = jax.lax.scan(
+    (tokens, pos, cache, hist), (samples, accepts) = jax.lax.scan(
         body, (tokens, pos, cache, hist), None, length=m)
-    return samples, accepts, cache, hist
+    return samples, accepts, tokens, pos, cache, hist
 
 
 @partial(jax.jit, static_argnames=("cfg", "k", "m"),
@@ -249,9 +252,9 @@ def _spec_scan_tick_paged(params, cfg: ModelConfig, tokens, pos, temps,
         return _spec_round(params, cfg, carry, temps, top_ps, slot_keys, k,
                            fwd)
 
-    (_, _, cache, hist), (samples, accepts) = jax.lax.scan(
+    (tokens, pos, cache, hist), (samples, accepts) = jax.lax.scan(
         body, (tokens, pos, cache, hist), None, length=m)
-    return samples, accepts, cache, hist
+    return samples, accepts, tokens, pos, cache, hist
 
 
 def _prefill_body(params, cfg: ModelConfig, tokens, true_lens, temps, top_ps,
@@ -566,6 +569,12 @@ class Engine:
         # and the last device token matrix (both hosts; feeds chained ticks)
         self._inflight: dict | None = None
         self._last_out = None
+        # pipelined SPEC state: the dispatched-but-unfetched spec scan and
+        # the device-resident (tokens, pos, hist) carries that seed a
+        # chained successor (followers keep their own copy via
+        # _dev_spec_scan; identical on every host)
+        self._spec_inflight: dict | None = None
+        self._last_spec: tuple | None = None
         # chunked-prefill state: the single active job and entries waiting
         # for it to finish (their slots already assigned, prefilling=True)
         self._pf_job: dict | None = None
@@ -678,8 +687,9 @@ class Engine:
             while True:
                 hist = self._hist_matrix()
                 self._broadcast_spec(zb, zb, zt, zp, hist, m)
-                self._dev_spec_scan(zb, zb, zt, zp, self.slot_keys, hist,
-                                    self.spec, m)
+                s_, _ = self._dev_spec_scan(zb, zb, zt, zp, self.slot_keys,
+                                            hist, self.spec, m)
+                np.asarray(s_)  # completion barrier (warmup is blocking)
                 count += 1
                 if m == 1:
                     break
@@ -831,17 +841,27 @@ class Engine:
                 self._dev_prefill_insert(tokens, true_lens, slots_arr, temps,
                                          top_ps, keys, rows, n_real)
             elif op == _OP_SPEC:
-                k, m = a0, a1
-                tmpl = [np.zeros(b, np.int32), np.zeros(b, np.int32),
-                        np.zeros(b, np.float32), np.zeros(b, np.float32),
-                        np.zeros((b, 2), np.uint32),
-                        np.zeros((b, self._hist_cap), np.int32)]
+                k, m, chained = a0, a1, bool(a2)
+                tmpl = ([np.zeros(b, np.float32), np.zeros(b, np.float32),
+                         np.zeros((b, 2), np.uint32)] if chained else
+                        [np.zeros(b, np.int32), np.zeros(b, np.int32),
+                         np.zeros(b, np.float32), np.zeros(b, np.float32),
+                         np.zeros((b, 2), np.uint32),
+                         np.zeros((b, self._hist_cap), np.int32)])
                 if self.paged:
                     tmpl.append(np.zeros_like(self.page_tables))
                 got = broadcast_step(tmpl)
-                tokens, pos, temps, tps, slot_keys, hist = got[:6]
-                if self.paged:
-                    self.page_tables = got[6]
+                if chained:
+                    # chained spec tick: tokens/pos/hist are this host's own
+                    # device copies of the previous spec scan's carries
+                    tokens, pos, hist = self._last_spec
+                    temps, tps, slot_keys = got[:3]
+                    if self.paged:
+                        self.page_tables = got[3]
+                else:
+                    tokens, pos, temps, tps, slot_keys, hist = got[:6]
+                    if self.paged:
+                        self.page_tables = got[6]
                 self._dev_spec_scan(tokens, pos, temps, tps, slot_keys,
                                     hist, k, m)
             elif op == _OP_PFSTART:
@@ -1232,6 +1252,8 @@ class Engine:
                 traceback.print_exc()
                 self.metrics["engine_errors"] += 1
                 self._inflight = None  # its buffers may be poisoned
+                self._spec_inflight = None
+                self._last_spec = None
                 self._pf_job = None
                 self._pf_pending = []
                 for s in self.slots:
@@ -1251,6 +1273,11 @@ class Engine:
                 self._process_inflight()
             except Exception:  # noqa: BLE001
                 self._inflight = None
+        if self._spec_inflight is not None:
+            try:
+                self._process_spec_inflight()
+            except Exception:  # noqa: BLE001
+                self._spec_inflight = None
 
     def _reset_cache(self):
         if self.paged:
@@ -1287,6 +1314,13 @@ class Engine:
             nxt = self._dispatch_chained() if self._chain_ok() else None
             self._process_inflight()
             self._inflight = nxt
+            if nxt is not None:
+                return
+        if self._spec_inflight is not None:
+            nxt = (self._dispatch_spec_chained()
+                   if self._spec_chain_ok() else None)
+            self._process_spec_inflight()
+            self._spec_inflight = nxt
             if nxt is not None:
                 return
         with self.phases.phase("admit"):
@@ -1335,26 +1369,15 @@ class Engine:
             self._reserve_tick_pages(pos, m * (k + 1), finish_on_fail=True)
             hist = self._hist_matrix()
             self._broadcast_spec(tokens, pos, temps, tps, hist, m)
-            t0 = time.time()
-            samples, accepts = self._dev_spec_scan(tokens, pos, temps, tps,
-                                                   self.slot_keys, hist, k, m)
-            self.metrics["decode_ticks"] += 1
-            self.metrics["decode_s"] += time.time() - t0
-            with self.phases.phase("emit"):
-                for r in range(m):
-                    for i, s in enumerate(self.slots):
-                        if s.free or s.prefilling:  # finished earlier / job
-                            continue
-                        self.metrics["spec_drafted"] += k
-                        a = int(accepts[r, i])
-                        self.metrics["spec_accepted"] += a
-                        for j in range(a + 1):
-                            s.pos += 1
-                            s.last_token = int(samples[r, j, i])
-                            self.metrics["tick_tokens"] += 1
-                            self._emit(s, s.last_token)
-                            if s.free:  # finished mid-chunk; drop the rest
-                                break
+            with self.phases.phase("dispatch"):
+                samples, accepts = self._dev_spec_scan(
+                    tokens, pos, temps, tps, self.slot_keys, hist, k, m)
+            self._spec_inflight = {
+                "samples": samples, "accepts": accepts, "pos": pos,
+                "m": m, "k": k, "temps": temps, "tps": tps,
+                "carry": self._last_spec,
+                "reqs": [None if s.prefilling else s.request
+                         for s in self.slots]}
             return
         # Shrink the tick so no slot overshoots its remaining token budget by
         # much: one dispatch still yields up to decode_tick tokens, but a tick
@@ -1381,8 +1404,9 @@ class Engine:
         Only when no host-side state change is pending: the admission queue
         is empty (a waiting request should get any freed slot instead of
         another speculative tick for its previous owner), speculation is off
-        (the spec scan amortizes the round-trip itself), no chunked-prefill
-        job needs loop iterations, and the engine is not stopping."""
+        (spec mode pipelines through _dispatch_spec_chained instead), no
+        chunked-prefill job needs loop iterations, and the engine is not
+        stopping."""
         return (not self.spec and self.admission.qsize() == 0
                 and self._pf_job is None
                 and not self._stop.is_set())
@@ -1423,6 +1447,91 @@ class Engine:
                                        inf["tps"], self.slot_keys, n)
         return {"out": out, "n": n, "pos": pos, "temps": inf["temps"],
                 "tps": inf["tps"], "reqs": inf["reqs"]}
+
+    def _spec_chain_ok(self) -> bool:
+        """Dispatch spec tick k+1 from tick k's device carries? Same host-
+        state conditions as _chain_ok, minus the speculation exclusion: with
+        the scan tick's (tokens, pos, hist) carries device-resident, a
+        successor needs nothing from the host fetch."""
+        return (self.spec and self.admission.qsize() == 0
+                and self._pf_job is None and not self._stop.is_set())
+
+    def _dispatch_spec_chained(self):
+        """Dispatch the successor spec scan before fetching the in-flight
+        one. Tokens/positions/history come from the in-flight tick's device
+        carries; the host only knows the worst-case positions (every round
+        fully accepted), so the m-shrink and page reservation use those —
+        conservative, never unsafe. Slots that finish inside the in-flight
+        tick waste their chained rows (discarded at emit)."""
+        inf = self._spec_inflight
+        if inf["carry"] is None:
+            return None
+        k = inf["k"]
+        b = len(self.slots)
+        act = [(i, s) for i, s in enumerate(self.slots)
+               if not s.free and s.request is inf["reqs"][i]]
+        if not act:
+            return None
+        # worst-case position after the in-flight tick
+        pos_wc = np.zeros(b, np.int32)
+        for i, _ in act:
+            pos_wc[i] = inf["pos"][i] + inf["m"] * (k + 1)
+        m = self.spec_rounds
+        worst = max(pos_wc[i] for i, _ in act)
+        while m and worst + m * (k + 1) > self.max_len:
+            m //= 2
+        if not m:
+            return None
+        # assume the in-flight tick emitted fully; if that exhausts every
+        # budget there is nothing worth chaining
+        remaining = min(s.request.steps - (s.generated + inf["m"] * (k + 1))
+                        for _, s in act)
+        if remaining <= 0:
+            return None
+        while m > 1 and m // 2 >= remaining:
+            m //= 2
+        if not self._reserve_tick_pages(pos_wc, m * (k + 1),
+                                        finish_on_fail=False):
+            return None
+        toks_d, pos_d, hist_d = inf["carry"]
+        self._broadcast_spec(None, None, inf["temps"], inf["tps"], None, m,
+                             chained=True)
+        with self.phases.phase("dispatch"):
+            samples, accepts = self._dev_spec_scan(
+                toks_d, pos_d, inf["temps"], inf["tps"], self.slot_keys,
+                hist_d, k, m)
+        return {"samples": samples, "accepts": accepts, "pos": pos_wc,
+                "m": m, "k": k, "temps": inf["temps"], "tps": inf["tps"],
+                "carry": self._last_spec, "reqs": inf["reqs"]}
+
+    def _process_spec_inflight(self):
+        """Fetch the in-flight spec scan's samples/accepts (blocks until the
+        device finishes) and emit them. Slots whose request changed since
+        dispatch discard their rows."""
+        inf = self._spec_inflight
+        k = inf["k"]
+        t0 = time.time()
+        with self.phases.phase("fetch"):
+            samples = np.asarray(inf["samples"])            # (m, k+1, B)
+            accepts = np.asarray(inf["accepts"])            # (m, B)
+        self.metrics["decode_ticks"] += 1
+        self.metrics["decode_s"] += time.time() - t0
+        with self.phases.phase("emit"):
+            for r in range(inf["m"]):
+                for i, s in enumerate(self.slots):
+                    if s.free or s.request is not inf["reqs"][i]:
+                        continue
+                    self.metrics["spec_drafted"] += k
+                    a = int(accepts[r, i])
+                    self.metrics["spec_accepted"] += a
+                    for j in range(a + 1):
+                        s.pos += 1
+                        s.last_token = int(samples[r, j, i])
+                        self.metrics["tick_tokens"] += 1
+                        self._emit(s, s.last_token)
+                        if s.free:  # finished mid-chunk; drop the rest
+                            break
+        self._spec_inflight = None
 
     def _process_inflight(self):
         """Fetch the in-flight tick's tokens (blocks until the device
@@ -1492,13 +1601,19 @@ class Engine:
             else np.zeros(self._hist_cap, np.int32)
             for s in self.slots])
 
-    def _broadcast_spec(self, tokens, pos, temps, tps, hist, m: int):
+    def _broadcast_spec(self, tokens, pos, temps, tps, hist, m: int,
+                        chained: bool = False):
+        """chained=True omits tokens/pos/hist from the payload — followers
+        use their own device copies of the previous spec tick's carries
+        (identical on every host, retained by _dev_spec_scan)."""
         if not self.multihost:
             return
         from rama_tpu.parallel.distributed import broadcast_step
 
-        broadcast_step([np.asarray([_OP_SPEC, self.spec, m, 0], np.int64)])
-        payload = [tokens, pos, temps, tps, self.slot_keys.copy(), hist]
+        broadcast_step([np.asarray([_OP_SPEC, self.spec, m, int(chained)],
+                                   np.int64)])
+        payload = ([temps, tps, self.slot_keys.copy()] if chained else
+                   [tokens, pos, temps, tps, self.slot_keys.copy(), hist])
         if self.paged:
             payload.append(self.page_tables.copy())
         broadcast_step(payload)
@@ -1506,31 +1621,36 @@ class Engine:
     def _dev_spec_scan(self, tokens, pos, temps, tps, slot_keys, hist,
                        k: int, m: int):
         """The device-side speculative scan (m draft->verify rounds),
-        executed identically on every host. Returns host copies of
-        (samples (m, k+1, B), accepts (m, B))."""
+        executed identically on every host. Returns DEVICE arrays
+        (samples (m, k+1, B), accepts (m, B)) without blocking; the final
+        (tokens, pos, hist) carries are retained in self._last_spec so a
+        chained successor spec tick (this host or a follower) dispatches
+        from them without fetching. `tokens`/`pos`/`hist` may be host
+        arrays or the previous tick's device carries."""
         keys = jnp.asarray(slot_keys, jnp.uint32)
         jh = jnp.asarray(hist)
         if self.use_mesh and self.paged:
-            samples, accepts, self.cache, _ = self._tp_paged_spec(
+            samples, accepts, toks, posn, self.cache, jh = self._tp_paged_spec(
                 self.params, jnp.asarray(tokens), jnp.asarray(pos),
                 jnp.asarray(temps), jnp.asarray(tps), keys, self.cache,
                 jnp.asarray(self.page_tables), jh, m=m)
         elif self.use_mesh:
-            samples, accepts, self.cache, _ = self._tp_spec(
+            samples, accepts, toks, posn, self.cache, jh = self._tp_spec(
                 self.params, jnp.asarray(tokens), jnp.asarray(pos),
                 jnp.asarray(temps), jnp.asarray(tps), keys, self.cache,
                 jh, m=m)
         elif self.paged:
-            samples, accepts, self.cache, _ = _spec_scan_tick_paged(
+            samples, accepts, toks, posn, self.cache, jh = _spec_scan_tick_paged(
                 self.params, self.cfg, jnp.asarray(tokens), jnp.asarray(pos),
                 jnp.asarray(temps), jnp.asarray(tps), keys, self.cache,
                 jnp.asarray(self.page_tables), jh, k, m)
         else:
-            samples, accepts, self.cache, _ = _spec_scan_tick(
+            samples, accepts, toks, posn, self.cache, jh = _spec_scan_tick(
                 self.params, self.cfg, jnp.asarray(tokens), jnp.asarray(pos),
                 jnp.asarray(temps), jnp.asarray(tps), keys, self.cache,
                 jh, k, m)
-        return np.asarray(samples), np.asarray(accepts)
+        self._last_spec = (toks, posn, jh)
+        return samples, accepts
 
     def _dev_tick(self, tokens, pos, temps, tps, slot_keys, n: int) -> np.ndarray:
         """Blocking decode tick (fetches the sampled tokens)."""

@@ -158,10 +158,14 @@ def _forward_decode_fused_paged(params, cfg: ModelConfig, tokens: jax.Array,
             ks_pool, vs_pool = pools[2], pools[3]
             kq, ksc = kv_quant_rows(k[:, 0])          # (B,nkv,hd), (B,nkv)
             vq, vsc = kv_quant_rows(v[:, 0])
-            k_pool = k_pool.at[l, pg, hi, off].set(kq)
-            v_pool = v_pool.at[l, pg, hi, off].set(vq)
-            ks_pool = ks_pool.at[l, pg, hi, off].set(ksc)
-            vs_pool = vs_pool.at[l, pg, hi, off].set(vsc)
+            # XLA materializes the whole pool layer for the int8 scatter
+            # (same story as the dense cache, but the pool is sized for the
+            # long-context working set); the Pallas writer DMAs one stripe
+            from rama_tpu.ops.pallas.kv_write import write_kv_paged_q8
+
+            k_pool, v_pool, ks_pool, vs_pool = write_kv_paged_q8(
+                k_pool, v_pool, ks_pool, vs_pool, kq[:, None], vq[:, None],
+                ksc[:, None], vsc[:, None], pos, tables, l)
             pools_out = (k_pool, v_pool, ks_pool, vs_pool)
             att = paged_decode_attention_layer_q8(
                 q[:, 0], k_pool, v_pool, ks_pool, vs_pool, pos, tables, l)
@@ -272,10 +276,13 @@ def _forward_chunk_fused_paged(params, cfg: ModelConfig, tokens: jax.Array,
             ks_pool, vs_pool = pools[2], pools[3]
             kq, ksc = kv_quant_rows(k)                # (B,T,nkv,hd), (B,T,nkv)
             vq, vsc = kv_quant_rows(v)
-            k_pool = k_pool.at[l, pg, hi, off].set(kq)
-            v_pool = v_pool.at[l, pg, hi, off].set(vq)
-            ks_pool = ks_pool.at[l, pg, hi, off].set(ksc)
-            vs_pool = vs_pool.at[l, pg, hi, off].set(vsc)
+            # in-place stripe writes instead of the whole-pool-layer int8
+            # scatter (see _forward_decode_fused_paged)
+            from rama_tpu.ops.pallas.kv_write import write_kv_paged_q8
+
+            k_pool, v_pool, ks_pool, vs_pool = write_kv_paged_q8(
+                k_pool, v_pool, ks_pool, vs_pool, kq, vq, ksc, vsc, pos0,
+                tables, l, interpret=_interpret)
             pools_out = (k_pool, v_pool, ks_pool, vs_pool)
             att = paged_chunk_attention_layer_q8(
                 q, k_pool, v_pool, ks_pool, vs_pool, pos0, tables, l,

@@ -392,3 +392,34 @@ def test_long_context_beyond_checkpoint_seq_len():
     assert len(outs["native96"]) == 80
     assert outs["native96"] == outs["extended"]
     assert outs["native96"] == outs["extended_paged"]
+
+
+def test_spec_chained_ticks_match_oracle(engine_setup):
+    """Pipelined speculative ticks: with an idle admission queue, spec tick
+    k+1 dispatches from tick k's device-resident (tokens, pos, hist) carries
+    before tick k's samples are fetched — and the emitted stream is still
+    exactly the greedy oracle chain."""
+    cfg, np_params, params, tok, ecfg = engine_setup
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(max_batch_size=4, spec_tick=3))
+    chained = 0
+    orig = eng._dispatch_spec_chained
+
+    def counting():
+        nonlocal chained
+        out = orig()
+        if out is not None:
+            chained += 1
+        return out
+
+    eng._dispatch_spec_chained = counting
+    eng.start()
+    try:
+        req = Request(prompt="abac", steps=40, temperature=0.0)
+        eng.submit(req)
+        got = collect(req)
+        want_ids = oracle_chain(cfg, np_params, tok.encode("abac"), 40)
+        assert got == [tok.decode_token(i) for i in want_ids]
+    finally:
+        eng.stop()
+    assert chained >= 1, "no spec tick was chained"

@@ -188,3 +188,39 @@ def test_write_kv_chunk_q8_matches_scatter(s, t):
                 ks.at[l, bi, hi, pi].set(ksc), vs.at[l, bi, hi, pi].set(vsc))
         for g, w in zip(got, want):
             assert np.array_equal(np.asarray(g), np.asarray(w))
+
+
+@pytest.mark.parametrize("ps,t", [(16, 1), (16, 8), (32, 3), (64, 8), (128, 5)])
+def test_write_kv_paged_q8_matches_scatter(ps, t):
+    """The paged in-place writer must byte-match the XLA pool scatter for
+    T in [1, 8], including chunks straddling a page boundary and (ps >= 32)
+    a 32-row sublane stripe within a page."""
+    from rama_tpu.ops.pallas.kv_write import write_kv_paged_q8
+
+    rng = np.random.default_rng(13)
+    L, P, B, nkv, hd = 3, 10, 4, 2, 128
+    k8 = jnp.asarray(rng.integers(-127, 128, (L, P, nkv, ps, hd)), jnp.int8)
+    v8 = jnp.asarray(rng.integers(-127, 128, (L, P, nkv, ps, hd)), jnp.int8)
+    ks = jnp.asarray(rng.standard_normal((L, P, nkv, ps)), jnp.float32)
+    vs = jnp.asarray(rng.standard_normal((L, P, nkv, ps)), jnp.float32)
+    kq = jnp.asarray(rng.integers(-127, 128, (B, t, nkv, hd)), jnp.int8)
+    vq = jnp.asarray(rng.integers(-127, 128, (B, t, nkv, hd)), jnp.int8)
+    ksc = jnp.asarray(rng.standard_normal((B, t, nkv)), jnp.float32)
+    vsc = jnp.asarray(rng.standard_normal((B, t, nkv)), jnp.float32)
+    # disjoint per-slot page tables (2 logical pages each), scrambled order
+    tables = jnp.asarray(rng.permutation(8).reshape(B, 2), jnp.int32)
+    # positions: page start, page-boundary straddle, mid-page (stripe
+    # straddle when ps >= 32: 30 crosses rows 31->32), end of page 0
+    pos0 = jnp.asarray([0, max(ps - t + 1, 0), min(30, ps - t),
+                        ps - t], jnp.int32)
+    for l in range(L):
+        got = write_kv_paged_q8(k8, v8, ks, vs, kq, vq, ksc, vsc, pos0,
+                                tables, jnp.int32(l), interpret=True)
+        pidx = pos0[:, None] + jnp.arange(t)[None, :]            # (B, T)
+        pg = jnp.take_along_axis(tables, pidx // ps, axis=1)[:, :, None]
+        off = (pidx % ps)[:, :, None]
+        hi = jnp.arange(nkv)[None, None, :]
+        want = (k8.at[l, pg, hi, off].set(kq), v8.at[l, pg, hi, off].set(vq),
+                ks.at[l, pg, hi, off].set(ksc), vs.at[l, pg, hi, off].set(vsc))
+        for g, w in zip(got, want):
+            assert np.array_equal(np.asarray(g), np.asarray(w))

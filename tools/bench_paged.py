@@ -123,8 +123,34 @@ def main():
     dense_tok_s = slope(
         dense_n, lambda: KVCache.create(cfg, batch=batch, max_len=max_len))
     log(f"dense decode: {dense_tok_s:.1f} tok/s aggregate (b={batch})")
+
+    # --- int8 KV pools (QuantPagedKVCache): correctness gate = greedy chain
+    # must match the dense int8-KV chain (same per-row quantization on both
+    # sides; only the write kernel + attention read layout differ), then
+    # throughput. Exercises ops/pallas/kv_write.write_kv_paged_q8 compiled.
+    from rama_tpu.models.llama import QuantKVCache
+    from rama_tpu.runtime.paged import QuantPagedKVCache
+
+    log("paged q8:")
+    paged_q8_tok_s = slope(
+        paged_n, lambda: QuantPagedKVCache.create(cfg, num_pages + 1, ps))
+
+    log("dense q8:")
+    dense_q8_tok_s = slope(
+        dense_n, lambda: QuantKVCache.create(cfg, batch=batch,
+                                             max_len=max_len))
+
+    out_p, _ = paged_n(QuantPagedKVCache.create(cfg, num_pages + 1, ps), 24)
+    out_d, _ = dense_n(QuantKVCache.create(cfg, batch=batch,
+                                           max_len=max_len), 24)
+    match = np.array_equal(np.asarray(out_p), np.asarray(out_d))
+    log(f"[gate] q8 paged greedy chain == dense chain: {match}")
+    assert match
+
     print(f"paged {paged_tok_s:.1f} vs dense {dense_tok_s:.1f} tok/s "
-          f"({paged_tok_s / dense_tok_s:.2f}x)")
+          f"({paged_tok_s / dense_tok_s:.2f}x); "
+          f"q8 paged {paged_q8_tok_s:.1f} vs q8 dense {dense_q8_tok_s:.1f} "
+          f"({paged_q8_tok_s / dense_q8_tok_s:.2f}x)")
 
 
 if __name__ == "__main__":

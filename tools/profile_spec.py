@@ -46,7 +46,7 @@ def main():
 
     def run_spec():
         nonlocal cache, hist
-        samples, accepts, cache, hist = _spec_scan_tick(
+        samples, accepts, _t, _p, cache, hist = _spec_scan_tick(
             params, cfg, tokens, pos, temps, tps, keys, cache, hist, k, m)
         return np.asarray(samples)
 
