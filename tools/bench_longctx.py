@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--kv", default="int8", choices=("int8", "bf16"))
     ap.add_argument("--max-len", type=int, default=16384)
     ap.add_argument("--positions", type=str, default="")
+    ap.add_argument("--paged", action="store_true",
+                    help="decode against a page pool (same capacity) via the"
+                         " ragged paged kernels instead of the dense cache")
+    ap.add_argument("--page-size", type=int, default=128)
     args = ap.parse_args()
 
     import jax
@@ -58,23 +62,52 @@ def main():
     else:
         positions = [1024, 4096, 8192, S - 72]
 
-    @partial(jax.jit, static_argnames=("n",), donate_argnames=("cache",))
-    def decode_n(params, token, start_pos, cache, n):
-        def body(carry, pos):
-            token, cache = carry
-            logits, cache = decode_step(params, cfg, token,
-                                        pos * jnp.ones_like(token), cache)
-            nxt = sample_greedy(logits)
-            return (nxt, cache), nxt
-
-        (token, cache), out = jax.lax.scan(
-            body, (token, cache), start_pos + jnp.arange(n, dtype=jnp.int32))
-        return out, cache
-
     token = jnp.ones((1,), jnp.int32)
-    make = QuantKVCache.create if args.kv == "int8" else KVCache.create
-    cache = make(cfg, batch=1, max_len=S)
-    log(f"cache: {args.kv} S={S}")
+    if args.paged:
+        from rama_tpu.runtime.paged import (PagedKVCache, QuantPagedKVCache,
+                                            _decode_step_paged_impl)
+
+        ps = args.page_size
+        num_pages = S // ps
+        page_tables = jnp.arange(num_pages, dtype=jnp.int32)[None, :]
+
+        @partial(jax.jit, static_argnames=("n",), donate_argnames=("cache",))
+        def decode_n(params, token, start_pos, cache, n):
+            def body(carry, pos):
+                token, cache = carry
+                logits, cache = _decode_step_paged_impl(
+                    params, cfg, token, pos * jnp.ones_like(token), cache,
+                    page_tables)
+                nxt = sample_greedy(logits)
+                return (nxt, cache), nxt
+
+            (token, cache), out = jax.lax.scan(
+                body, (token, cache),
+                start_pos + jnp.arange(n, dtype=jnp.int32))
+            return out, cache
+
+        pmake = (QuantPagedKVCache.create if args.kv == "int8"
+                 else PagedKVCache.create)
+        cache = pmake(cfg, num_pages, ps)
+        log(f"cache: paged {args.kv} S={S} ({num_pages} pages x {ps})")
+    else:
+        @partial(jax.jit, static_argnames=("n",), donate_argnames=("cache",))
+        def decode_n(params, token, start_pos, cache, n):
+            def body(carry, pos):
+                token, cache = carry
+                logits, cache = decode_step(params, cfg, token,
+                                            pos * jnp.ones_like(token), cache)
+                nxt = sample_greedy(logits)
+                return (nxt, cache), nxt
+
+            (token, cache), out = jax.lax.scan(
+                body, (token, cache),
+                start_pos + jnp.arange(n, dtype=jnp.int32))
+            return out, cache
+
+        make = QuantKVCache.create if args.kv == "int8" else KVCache.create
+        cache = make(cfg, batch=1, max_len=S)
+        log(f"cache: {args.kv} S={S}")
 
     curve = []
     for pos0 in positions:
@@ -95,8 +128,10 @@ def main():
                       "ms_step": round(per_step * 1e3, 2)})
         log(f"pos={pos0}: {per_step * 1e3:.2f} ms/step -> {tok_s:.1f} tok/s")
 
+    tag = "_paged" if args.paged else ""
     print(json.dumps({
-        "metric": f"decode_tok_s_vs_pos_7b_int{args.bits}_kv_{args.kv}_s{S}",
+        "metric": (f"decode_tok_s_vs_pos_7b_int{args.bits}"
+                   f"_kv_{args.kv}{tag}_s{S}"),
         "curve": curve,
     }), flush=True)
 

