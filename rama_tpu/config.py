@@ -124,6 +124,16 @@ class EngineConfig:
     # token budgets and the cache end (m=0 falls back to the plain tick).
     # Only read when spec_tick > 0.
     spec_rounds: int = 4
+    # Adaptive speculation: because speculation is a pure latency/throughput
+    # knob (spec on/off emits bit-identical streams — sampling is keyed by
+    # (slot, position)), the engine can switch it off when drafts don't
+    # land. When the rolling per-round accept fraction (accepted / k over
+    # the last spec rounds) stays below spec_min_accept, spec goes DORMANT
+    # for 64 plain (chained) ticks, then probes again with a couple of spec
+    # dispatches. A spec round costs ~1.15x a plain step and emits
+    # 1 + frac*k tokens vs the step's 1, so break-even is frac ~ 0.15/k
+    # (~0.05 at k=3); 0.1 keeps a margin. Set to 0 to always speculate.
+    spec_min_accept: float = 0.1
 
     # Parallelism knobs: the engine builds a (dp_size, tp_size) device mesh.
     # tp shards weights and KV heads over `model` (Megatron layout); dp

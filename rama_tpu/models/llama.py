@@ -866,7 +866,8 @@ def forward_chunk(params: Params, cfg: ModelConfig, tokens: jax.Array,
 
 def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
             pos_index: jax.Array, cache: KVCache, tp_axis: str | None = None,
-            plen: jax.Array | None = None):
+            plen: jax.Array | None = None,
+            logit_rows: jax.Array | None = None):
     """Forward a (B, T) token chunk at per-slot positions (B, T).
 
     Causal over the cache: position s of slot b is visible to query t iff
@@ -878,11 +879,18 @@ def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
     >= plen[b] padding). Enables the flash-style Pallas prefill kernel on
     TPU; numerics match the masked XLA path either way.
 
+    `logit_rows` (B,) int32: compute the classifier only at column
+    logit_rows[b] of each slot and return (B, 1, V) logits. Prefill only
+    needs the last real row, and the full (B, T, V) fp32 tensor plus its
+    lm_head matmul dominate prefill memory AND compute at large T
+    (8 x 2048 x 32000 fp32 = 2.1 GB + ~2 TFLOP that admission throws away
+    — an OOM at 7B on a 16 GB chip).
+
     With `tp_axis` set (inside shard_map), params/cache are the local TP
     shards; the returned logits are the full vocab (all-gathered).
     """
     b, t = tokens.shape
-    if (t == 1 and jax.default_backend() == "tpu"
+    if (logit_rows is None and t == 1 and jax.default_backend() == "tpu"
             and _decode_attn_supported(cfg.n_heads, cfg.n_kv_heads,
                                        cfg.head_dim, cache.max_len)):
         return _forward_decode_fused(params, cfg, tokens, pos_index, cache,
@@ -907,6 +915,8 @@ def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
     x, cv_new = jax.lax.scan(
         body, x, (layer_params, *_cache_arrays(cache)))
 
+    if logit_rows is not None:
+        x = jnp.take_along_axis(x, logit_rows[:, None, None], axis=1)  # (B,1,D)
     x = rmsnorm(x, params["final_norm"], cfg.norm_eps)
     logits = _linear(x, params["wcls"]).astype(jnp.float32)
     if tp_axis is not None:
@@ -916,12 +926,19 @@ def forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
     return logits, _cache_rebuild(cache, cv_new)
 
 
-def prefill(params: Params, cfg: ModelConfig, tokens: jax.Array, cache: KVCache):
-    """Process a whole (B, T) prompt in one batched pass from position 0."""
+def prefill(params: Params, cfg: ModelConfig, tokens: jax.Array,
+            cache: KVCache, last_only: bool = False):
+    """Process a whole (B, T) prompt in one batched pass from position 0.
+
+    last_only=True returns (B, 1, V) logits for the final position only —
+    generation never reads the other rows, and the full (B, T, V) fp32
+    tensor + its lm_head matmul dominate long-prompt prefill memory/compute
+    (see forward's logit_rows)."""
     b, t = tokens.shape
     pos = jnp.arange(t)[None, :].repeat(b, 0)
+    rows = jnp.full((b,), t - 1, jnp.int32) if last_only else None
     return forward(params, cfg, tokens, pos, cache,
-                   plen=jnp.full((b,), t, jnp.int32))
+                   plen=jnp.full((b,), t, jnp.int32), logit_rows=rows)
 
 
 def decode_step(params: Params, cfg: ModelConfig, token: jax.Array,

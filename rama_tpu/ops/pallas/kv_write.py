@@ -199,6 +199,92 @@ def write_kv_chunk_q8(k8, v8, ks, vs, kq, vq, ksc, vsc, pos0, layer, *,
     )(scalars, kq, vq, ksc[..., None], vsc[..., None], k8, v8, ks, vs)
 
 
+def _strips_kernel(sc_ref, kq_ref, vq_ref, ksc_ref, vsc_ref,
+                   kin_ref, vin_ref, ksin_ref, vsin_ref,
+                   ko_ref, vo_ref, kso_ref, vso_ref,
+                   *, t: int, rtile: int):
+    w = pl.program_id(2)
+    rt_, cs = kin_ref.shape[3], ksin_ref.shape[3]
+    # row mask kept (rtile, 1) — a full (nkv, rtile, hd) iota temp blew the
+    # scoped-vmem budget at large windows
+    rows = w * rtile + jax.lax.broadcasted_iota(jnp.int32, (rtile, 1), 0)
+    sel = (rows < t)[None]                                # (1, rtile, 1)
+    ko_ref[0, 0] = jnp.where(sel, kq_ref[0, 0], kin_ref[0, 0])
+    vo_ref[0, 0] = jnp.where(sel, vq_ref[0, 0], vin_ref[0, 0])
+    ci = jax.lax.broadcasted_iota(jnp.int32, (1, cs), 1)
+    selc = ci < t
+    kso_ref[0, 0] = jnp.where(selc, ksc_ref[0, 0], ksin_ref[0, 0])
+    vso_ref[0, 0] = jnp.where(selc, vsc_ref[0, 0], vsin_ref[0, 0])
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def write_kv_strips_q8(k8, v8, ks, vs, kq, vq, ksc, vsc, slots, *,
+                       interpret: bool = False):
+    """Insert prefilled strips into the int8 cache in place — the admission
+    companion of write_kv_rows_q8 (engine._insert_body's device half).
+
+    k8/v8 (L, B, nkv, S, hd) int8 and ks/vs (L, B, nkv, S) f32 are DONATED;
+    strip j — kq/vq (L, K, nkv, T, hd) int8, ksc/vsc (L, K, nkv, T) f32 —
+    lands at [:, slots[j], :, 0:T]. Duplicate slots[j] entries (batch
+    padding) must carry identical strips (engine._pad_entries guarantees
+    it). XLA lowers the equivalent `.at[:, slots, :, :T].set(...)` int8
+    scatter to a whole-cache broadcast+select — ~4 GB of temps and ~8 GB of
+    HBM traffic per admission at 7B b=8 S=2048 (an OOM next to the weights
+    + slot cache); this DMAs one tile-rounded window per (slot, layer).
+    """
+    L, B, nkv, S, hd = k8.shape
+    K, t = kq.shape[1], kq.shape[3]
+    rt = min(-(-t // 32) * 32, S) if S % 32 == 0 else S
+    cs = min(-(-t // 128) * 128, S) if S % 128 == 0 else S
+    # tile the row window (a whole 2048-row block is 8 MB in VMEM — x6
+    # blocks blew the 16 MB scoped budget); scale windows stay whole (f32
+    # (nkv, cs) is small)
+    rtile = 256 if rt % 256 == 0 else (32 if rt % 32 == 0 else rt)
+    nw = rt // rtile
+    kq = jnp.pad(kq, ((0, 0), (0, 0), (0, 0), (0, rt - t), (0, 0)))
+    vq = jnp.pad(vq, ((0, 0), (0, 0), (0, 0), (0, rt - t), (0, 0)))
+    ksc = jnp.pad(ksc, ((0, 0), (0, 0), (0, 0), (0, cs - t)))
+    vsc = jnp.pad(vsc, ((0, 0), (0, 0), (0, 0), (0, cs - t)))
+    scalars = slots.astype(jnp.int32)
+
+    strip_idx = lambda j, l, w, sc: (l, j, 0, w, 0)
+    stripc_idx = lambda j, l, w, sc: (l, j, 0, 0)
+    row_idx = lambda j, l, w, sc: (l, sc[j], 0, w, 0)
+    col_idx = lambda j, l, w, sc: (l, sc[j], 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(K, L, nw),
+        in_specs=[
+            pl.BlockSpec((1, 1, nkv, rtile, hd), strip_idx),
+            pl.BlockSpec((1, 1, nkv, rtile, hd), strip_idx),
+            pl.BlockSpec((1, 1, nkv, cs), stripc_idx),
+            pl.BlockSpec((1, 1, nkv, cs), stripc_idx),
+            pl.BlockSpec((1, 1, nkv, rtile, hd), row_idx),
+            pl.BlockSpec((1, 1, nkv, rtile, hd), row_idx),
+            pl.BlockSpec((1, 1, nkv, cs), col_idx),
+            pl.BlockSpec((1, 1, nkv, cs), col_idx),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, nkv, rtile, hd), row_idx),
+            pl.BlockSpec((1, 1, nkv, rtile, hd), row_idx),
+            pl.BlockSpec((1, 1, nkv, cs), col_idx),
+            pl.BlockSpec((1, 1, nkv, cs), col_idx),
+        ],
+    )
+    return pl.pallas_call(
+        partial(_strips_kernel, t=t, rtile=rtile),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k8.shape, k8.dtype),
+            jax.ShapeDtypeStruct(v8.shape, v8.dtype),
+            jax.ShapeDtypeStruct(ks.shape, ks.dtype),
+            jax.ShapeDtypeStruct(vs.shape, vs.dtype),
+        ],
+        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+        interpret=interpret,
+    )(scalars, kq, vq, ksc, vsc, k8, v8, ks, vs)
+
+
 def _paged_kernel(sc_ref, kq_ref, vq_ref, ksc_ref, vsc_ref,
                   kin_ref, vin_ref, ksin_ref, vsin_ref,
                   ko_ref, vo_ref, kso_ref, vso_ref,

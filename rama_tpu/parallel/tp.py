@@ -394,15 +394,18 @@ def _mapped_prefill(cfg: ModelConfig, mesh: Mesh, pspecs):
     (batch over `data`, weights/KV heads over `model`)."""
     cspec = cache_spec()
 
-    def inner(params, tokens, cache):
+    def inner(params, tokens, true_lens, cache):
         b, t = tokens.shape
         pos = jnp.arange(t)[None, :].repeat(b, 0)
+        # classifier only at each row's last real query (logit_rows): the
+        # full (k, T, V) fp32 logits OOM admission at large T buckets
         return forward(params, cfg, tokens, pos, cache, tp_axis=MODEL_AXIS,
-                       plen=jnp.full((b,), t, jnp.int32))
+                       plen=jnp.full((b,), t, jnp.int32),
+                       logit_rows=true_lens - 1)
 
     return jax.shard_map(
         inner, mesh=mesh,
-        in_specs=(pspecs, P(DATA_AXIS, None), cspec),
+        in_specs=(pspecs, P(DATA_AXIS, None), P(DATA_AXIS), cspec),
         out_specs=(P(DATA_AXIS, None, None), cspec),
         check_vma=False)
 
@@ -415,10 +418,9 @@ def _prefill_firsts(mapped, cfg, params, tokens, true_lens, temps, top_ps,
     row, keys fold in the position)."""
     k_pad, t_pad = tokens.shape
     scratch = KVCache.create(cfg, batch=k_pad, max_len=t_pad)
-    logits, scratch = mapped(params, tokens, scratch)
-    last = jnp.take_along_axis(
-        logits, (true_lens - 1)[:, None, None], axis=1)[:, 0]
-    firsts = sample_batched_keyed(last, fold_in_pos(slot_keys, true_lens - 1),
+    last, scratch = mapped(params, tokens, true_lens, scratch)   # (k, 1, V)
+    firsts = sample_batched_keyed(last[:, 0],
+                                  fold_in_pos(slot_keys, true_lens - 1),
                                   temps, top_ps)
     return firsts, scratch
 
@@ -448,8 +450,11 @@ def make_prefill_insert(cfg: ModelConfig, mesh: Mesh, params_example,
                                           true_lens, temps, top_ps,
                                           slot_keys)
         t_ins = min(tokens.shape[1], cache.k.shape[3])
+        # use_kernel=False: the pallas strip writer is opaque to the GSPMD
+        # partitioner; under the mesh the scatter stays
         cache = _insert_body(cache, scratch.k[:, :, :, :t_ins],
-                             scratch.v[:, :, :, :t_ins], slots)
+                             scratch.v[:, :, :, :t_ins], slots,
+                             use_kernel=False)
         return firsts, cache
 
     return pfi
@@ -513,13 +518,16 @@ def make_prefill_chunk_step(cfg: ModelConfig, mesh: Mesh, params_example):
     pspecs = param_specs(params_example)
     cspec = cache_spec()
 
-    def inner(params, tokens, pos_index, cache):
+    def inner(params, tokens, pos_index, rows, cache):
+        # classifier only at the candidate last row (see the single-host
+        # _prefill_chunk_step): full chunk logits are admission-discarded
         return forward(params, cfg, tokens, pos_index, cache,
-                       tp_axis=MODEL_AXIS)
+                       tp_axis=MODEL_AXIS, logit_rows=rows)
 
     mapped = jax.shard_map(
         inner, mesh=mesh,
-        in_specs=(pspecs, P(DATA_AXIS, None), P(DATA_AXIS, None), cspec),
+        in_specs=(pspecs, P(DATA_AXIS, None), P(DATA_AXIS, None),
+                  P(DATA_AXIS), cspec),
         out_specs=(P(DATA_AXIS, None, None), cspec),
         check_vma=False)
 
@@ -529,11 +537,10 @@ def make_prefill_chunk_step(cfg: ModelConfig, mesh: Mesh, params_example):
         t_pad = scratch.k.shape[3]
         idx = off + jnp.arange(c, dtype=jnp.int32)[None, :]
         pos_index = jnp.where(idx < true_lens[:, None], idx, t_pad - 1)
-        logits, scratch = mapped(params, tokens_chunk, pos_index, scratch)
         sel = true_lens - 1 - off
-        take = jnp.take_along_axis(
-            logits, jnp.clip(sel, 0, c - 1)[:, None, None], axis=1)[:, 0]
-        last = jnp.where(((sel >= 0) & (sel < c))[:, None], take, last)
+        take, scratch = mapped(params, tokens_chunk, pos_index,
+                               jnp.clip(sel, 0, c - 1), scratch)
+        last = jnp.where(((sel >= 0) & (sel < c))[:, None], take[:, 0], last)
         return scratch, last
 
     return step

@@ -101,7 +101,26 @@ def _bucket_k(n: int, dp: int = 1, b: int = 1, t_pad: int = 16) -> int:
     divide the data-parallel axis (b % dp is enforced at Engine init)."""
     if b * t_pad <= 4096:
         return max(b, n)
-    return _bucket(n, lo=max(dp, 1))
+    return min(_bucket(n, lo=max(dp, 1)), _prefill_k_cap(t_pad, dp))
+
+
+# Prefill bucket AREA cap (k_pad * t_pad tokens): the prefill scratch is a
+# bf16 (L, k_pad, nkv, t_pad, hd) cache — ~1.05 MB per token-row at 7B, so
+# a (8, 1024) bucket is 4.3 GB, which OOMs a 16 GB chip next to 6.9 GB of
+# int8 weights and a 5.4 GB S=2048 int8 slot cache (the flagship serving
+# envelope). 4096 tokens caps the scratch at ~2.2 GB. Admission bursts
+# whose bucket would exceed the cap split into sequential dispatches
+# (_start_requests / _pf_maybe_start slice with the same cap, so
+# _pad_entries never sees more rows than its bucket).
+_PREFILL_AREA = 4096
+
+
+def _prefill_k_cap(t_pad: int, dp: int = 1) -> int:
+    """Largest k bucket (dp * 2^j form) whose (k, t_pad) area stays under
+    _PREFILL_AREA — at least one row per data replica."""
+    dp = max(dp, 1)
+    per_replica = max(1, _PREFILL_AREA // max(t_pad, 1) // dp)
+    return dp * (1 << (per_replica.bit_length() - 1))
 
 
 # Multi-host control ops, broadcast host-0 -> followers before each device
@@ -109,6 +128,12 @@ def _bucket_k(n: int, dp: int = 1, b: int = 1, t_pad: int = 16) -> int:
 # [op, arg0, arg1, arg2].
 (_OP_TICK, _OP_PREFILL, _OP_RESET, _OP_STOP, _OP_SPEC,
  _OP_PFSTART, _OP_PFCHUNK, _OP_PFDONE) = range(8)
+
+# adaptive speculation (EngineConfig.spec_min_accept): plain ticks served
+# while spec is dormant, and the minimum rolling-window size before a
+# dormancy decision
+_SPEC_DORMANT_TICKS = 64
+_SPEC_PROBE_ROUNDS = 8
 
 
 @partial(jax.jit, static_argnames=("cfg", "n"), donate_argnames=("cache",))
@@ -273,28 +298,43 @@ def _prefill_body(params, cfg: ModelConfig, tokens, true_lens, temps, top_ps,
     scratch = KVCache.create(cfg, batch=k, max_len=t_pad)
     idx = jnp.arange(t_pad)[None, :]
     pos_index = jnp.where(idx < true_lens[:, None], idx, t_pad - 1)
-    logits, scratch = forward(params, cfg, tokens, pos_index, scratch,
-                              plen=true_lens)
-    last = jnp.take_along_axis(
-        logits, (true_lens - 1)[:, None, None], axis=1)[:, 0]       # (k, V)
+    # logit_rows: the classifier runs only on each row's last real query —
+    # full (k, T, V) fp32 logits OOM'd 7B prefill at the (8, 2048) bucket
+    last, scratch = forward(params, cfg, tokens, pos_index, scratch,
+                            plen=true_lens, logit_rows=true_lens - 1)
     keys = fold_in_pos(slot_keys, true_lens - 1)
-    firsts = sample_batched_keyed(last, keys, temps, top_ps)
+    firsts = sample_batched_keyed(last[:, 0], keys, temps, top_ps)
     return firsts, scratch.k, scratch.v
 
 
-def _insert_body(cache, k_new, v_new, slots):
+def _insert_body(cache, k_new, v_new, slots, use_kernel: bool | None = None,
+                 _interpret: bool = False):
     """Scatter k prefilled (L, k, kv, T, hd) K/V strips into their slots at
     pos 0. Duplicate slot entries (batch padding) carry identical strips,
     so scatter order is immaterial.
 
     With an int8 cache (QuantKVCache) the bf16 prefill strips are quantized
-    row-wise on insert — prefill always runs in a dense bf16 scratch."""
+    row-wise on insert — prefill always runs in a dense bf16 scratch. On
+    TPU the write goes through the in-place Pallas strip writer: the XLA
+    int8 scatter materializes the whole cache (broadcast+select — ~4 GB of
+    temps at 7B b=8 S=2048, an admission-time OOM next to weights +
+    scratch). `use_kernel` must be False under a GSPMD mesh (the pallas
+    call is opaque to the partitioner; the tp path keeps the scatter)."""
     from rama_tpu.models.llama import QuantKVCache, kv_quant_rows
 
     t = k_new.shape[3]
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
     if isinstance(cache, QuantKVCache):
         kq, ks = kv_quant_rows(k_new)
         vq, vs = kv_quant_rows(v_new)
+        if use_kernel or _interpret:
+            from rama_tpu.ops.pallas.kv_write import write_kv_strips_q8
+
+            k8, v8, kss, vss = write_kv_strips_q8(
+                cache.k, cache.v, cache.ks, cache.vs, kq, vq, ks, vs,
+                slots, interpret=_interpret)
+            return QuantKVCache(k=k8, v=v8, ks=kss, vs=vss)
         return QuantKVCache(
             k=cache.k.at[:, slots, :, :t].set(kq),
             v=cache.v.at[:, slots, :, :t].set(vq),
@@ -342,11 +382,12 @@ def _prefill_chunk_step(params, cfg: ModelConfig, tokens_chunk, true_lens,
     t_pad = scratch.k.shape[3]
     idx = off + jnp.arange(c, dtype=jnp.int32)[None, :]
     pos_index = jnp.where(idx < true_lens[:, None], idx, t_pad - 1)
-    logits, scratch = forward(params, cfg, tokens_chunk, pos_index, scratch)
     sel = true_lens - 1 - off
-    take = jnp.take_along_axis(
-        logits, jnp.clip(sel, 0, c - 1)[:, None, None], axis=1)[:, 0]
-    last = jnp.where(((sel >= 0) & (sel < c))[:, None], take, last)
+    # classifier only at the candidate last row of this chunk (logit_rows):
+    # the full (k, C, V) fp32 chunk logits are admission-discarded weight
+    take, scratch = forward(params, cfg, tokens_chunk, pos_index, scratch,
+                            logit_rows=jnp.clip(sel, 0, c - 1))
+    last = jnp.where(((sel >= 0) & (sel < c))[:, None], take[:, 0], last)
     return scratch, last
 
 
@@ -575,6 +616,14 @@ class Engine:
         # _dev_spec_scan; identical on every host)
         self._spec_inflight: dict | None = None
         self._last_spec: tuple | None = None
+        # adaptive speculation (EngineConfig.spec_min_accept): rolling
+        # per-round accept fractions; when their mean stays below the
+        # threshold, spec goes dormant for _SPEC_DORMANT_TICKS plain
+        # (chained) ticks, then probes again
+        from collections import deque
+
+        self._spec_window: "deque[float]" = deque(maxlen=64)
+        self._spec_dormant = 0
         # chunked-prefill state: the single active job and entries waiting
         # for it to finish (their slots already assigned, prefilling=True)
         self._pf_job: dict | None = None
@@ -983,6 +1032,15 @@ class Engine:
                 self._pf_maybe_start()
         if not entries:
             return
+        # split bursts whose padded bucket would exceed the prefill AREA cap
+        # (the bf16 scratch at (8, 2048) OOMs a 16 GB chip) into sequential
+        # dispatches, each under the cap
+        t_all = min(_bucket(max(len(e[3]) for e in entries)), self.max_len)
+        c = _prefill_k_cap(t_all, self.dp)
+        for i in range(0, len(entries), c):
+            self._dispatch_prefill_group(entries[i:i + c])
+
+    def _dispatch_prefill_group(self, entries):
         n_real = len(entries)
         (tokens, true_lens, slots_arr, temps, top_ps, keys,
          rows) = self._pad_entries(entries)
@@ -1055,8 +1113,13 @@ class Engine:
     def _pf_maybe_start(self):
         if self._pf_job is not None or not self._pf_pending:
             return
-        entries = self._pf_pending
-        self._pf_pending = []
+        # same AREA cap as direct admission: oversized pendings wait for the
+        # next job (started when this one finishes)
+        t_all = min(_bucket(max(len(e[3]) for e in self._pf_pending)),
+                    self.max_len)
+        c = _prefill_k_cap(t_all, self.dp)
+        entries = self._pf_pending[:c]
+        self._pf_pending = self._pf_pending[c:]
         (tokens, true_lens, slots_arr, temps, top_ps, keys,
          rows) = self._pad_entries(entries)
         k_pad, t_pad = tokens.shape
@@ -1351,9 +1414,11 @@ class Engine:
             tps[i] = s.request.top_p
         # Speculative dispatch: m on-device draft->verify rounds per host
         # round-trip (_spec_scan_tick). m shrinks (powers of two) near token
-        # budgets and the cache end; m=0 falls back to the plain scan tick.
+        # budgets and the cache end; m=0 falls back to the plain scan tick
+        # (also taken while adaptive speculation is dormant — see
+        # _process_spec_inflight's accept-rate evaluation).
         k = self.spec
-        m = self.spec_rounds if self.spec else 0
+        m = self.spec_rounds if (self.spec and not self._spec_dormant) else 0
         if m:
             # each round advances a slot's position by at most k+1; every
             # chunk position must stay < max_len
@@ -1407,7 +1472,8 @@ class Engine:
         (spec mode pipelines through _dispatch_spec_chained instead), no
         chunked-prefill job needs loop iterations, and the engine is not
         stopping."""
-        return (not self.spec and self.admission.qsize() == 0
+        return ((not self.spec or self._spec_dormant > 0)
+                and self.admission.qsize() == 0
                 and self._pf_job is None
                 and not self._stop.is_set())
 
@@ -1518,12 +1584,15 @@ class Engine:
         self.metrics["decode_s"] += time.time() - t0
         with self.phases.phase("emit"):
             for r in range(inf["m"]):
+                drafted = accepted = 0
                 for i, s in enumerate(self.slots):
                     if s.free or s.request is not inf["reqs"][i]:
                         continue
                     self.metrics["spec_drafted"] += k
                     a = int(accepts[r, i])
                     self.metrics["spec_accepted"] += a
+                    drafted += k
+                    accepted += a
                     for j in range(a + 1):
                         s.pos += 1
                         s.last_token = int(samples[r, j, i])
@@ -1531,7 +1600,17 @@ class Engine:
                         self._emit(s, s.last_token)
                         if s.free:  # finished mid-chunk; drop the rest
                             break
+                if drafted:
+                    self._spec_window.append(accepted / drafted)
         self._spec_inflight = None
+        # adaptive speculation: a spec round costs ~1.15x a plain step and
+        # emits 1 + frac*k tokens vs the step's 1 — below spec_min_accept,
+        # plain chained ticks serve faster, so go dormant and re-probe later
+        thr = self.ecfg.spec_min_accept
+        if (thr > 0 and len(self._spec_window) >= _SPEC_PROBE_ROUNDS
+                and sum(self._spec_window) / len(self._spec_window) < thr):
+            self._spec_dormant = _SPEC_DORMANT_TICKS
+            self._spec_window.clear()
 
     def _process_inflight(self):
         """Fetch the in-flight tick's tokens (blocks until the device
@@ -1543,6 +1622,8 @@ class Engine:
             nxt = np.asarray(inf["out"])                       # (n, B)
         self.metrics["decode_ticks"] += 1
         self.metrics["decode_s"] += time.time() - t0
+        if self._spec_dormant > 0:
+            self._spec_dormant -= 1  # count down to the next spec probe
         with self.phases.phase("emit"):
             for i, s in enumerate(self.slots):
                 if s.free or s.request is not inf["reqs"][i]:
@@ -1709,6 +1790,7 @@ class Engine:
                                  if m["decode_s"] else 0.0),
             "spec_accept_rate": (m["spec_accepted"] / m["spec_drafted"]
                                  if m["spec_drafted"] else None),
+            "spec_dormant_ticks": self._spec_dormant if self.spec else None,
             "ttft_p50_ms": ttfts[len(ttfts) // 2] if ttfts else None,
             "ttft_p95_ms": ttfts[int(len(ttfts) * 0.95)] if ttfts else None,
             "phases": self.phases.stats(),

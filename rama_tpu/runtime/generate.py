@@ -71,7 +71,8 @@ def generate_prefill_decode(params, cfg: ModelConfig, prompt: jax.Array,
     token-at-a-time loop, restructured into one big MXU-friendly pass.
     """
     inputs = jnp.concatenate([jnp.full((1,), BOS_ID, jnp.int32), prompt])
-    logits, cache = prefill(params, cfg, inputs[None, :], cache)
+    logits, cache = prefill(params, cfg, inputs[None, :], cache,
+                            last_only=True)
 
     def sample_fn(logits_1v, key):
         if temperature == 0.0:

@@ -130,7 +130,8 @@ def _spec_generate(params, cfg, prompt, steps, prompt_len, temperature,
                    top_p, key, cache, proposer, dcache0, k):
     cap = steps + k + 2
     inputs = jnp.concatenate([jnp.full((1,), BOS_ID, jnp.int32), prompt])
-    logits, cache = prefill(params, cfg, inputs[None, :], cache)
+    logits, cache = prefill(params, cfg, inputs[None, :], cache,
+                            last_only=True)
     first = _sample_positions(logits[0, -1:], jnp.int32(prompt_len + 1), key,
                               temperature, top_p)[0]
     toks = jnp.zeros((cap,), jnp.int32)
@@ -189,7 +190,8 @@ def generate_speculative_draft(params, cfg: ModelConfig, dparams,
     """
     # draft model must see the prompt too
     inputs = jnp.concatenate([jnp.full((1,), BOS_ID, jnp.int32), prompt])
-    _, dcache = prefill(dparams, dcfg, inputs[None, :], dcache)
+    _, dcache = prefill(dparams, dcfg, inputs[None, :], dcache,
+                        last_only=True)
 
     def proposer(st: _SpecState, cur, pos):
         def stp(carry, _):

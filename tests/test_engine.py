@@ -423,3 +423,83 @@ def test_spec_chained_ticks_match_oracle(engine_setup):
     finally:
         eng.stop()
     assert chained >= 1, "no spec tick was chained"
+
+
+def test_adaptive_spec_goes_dormant_and_stream_unchanged(engine_setup):
+    """Adaptive speculation: with spec_min_accept forced above any possible
+    accept fraction, the engine drops to plain (chained) ticks after the
+    probe window — and because spec on/off is stream-identical by
+    construction, the emitted stream is still the exact oracle chain."""
+    cfg, np_params, params, tok, ecfg = engine_setup
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(max_batch_size=4, spec_tick=3,
+                              spec_min_accept=1.01))
+    plain_chained = 0
+    orig = eng._dispatch_chained
+
+    def counting():
+        nonlocal plain_chained
+        out = orig()
+        if out is not None:
+            plain_chained += 1
+        return out
+
+    eng._dispatch_chained = counting
+    eng.start()
+    try:
+        req = Request(prompt="abac", steps=44, temperature=0.0)
+        eng.submit(req)
+        got = collect(req)
+        want_ids = oracle_chain(cfg, np_params, tok.encode("abac"), 44)
+        assert got == [tok.decode_token(i) for i in want_ids]
+        assert eng._spec_dormant > 0, "speculation never went dormant"
+        assert plain_chained >= 1, \
+            "dormant spec mode should chain plain ticks"
+    finally:
+        eng.stop()
+
+
+def test_prefill_area_cap_splits_bursts(engine_setup, monkeypatch):
+    """Admission bursts whose (k, T) bucket would exceed _PREFILL_AREA split
+    into sequential prefill dispatches (the bf16 prefill scratch at 7B
+    (8, 2048) OOMs a 16 GB chip), with every stream still oracle-exact."""
+    import rama_tpu.runtime.engine as eng_mod
+
+    cfg, np_params, params, tok, ecfg = engine_setup
+    monkeypatch.setattr(eng_mod, "_PREFILL_AREA", 64)
+    eng = Engine(cfg, params, tok, EngineConfig(max_batch_size=4))
+    groups = []
+    orig = eng._dispatch_prefill_group
+
+    def counting(entries):
+        groups.append(len(entries))
+        return orig(entries)
+
+    eng._dispatch_prefill_group = counting
+    eng.start()
+    try:
+        prompts = ["abcabcabcabcabcabcabcabcabcabc"[: 24 + i] for i in range(4)]
+        reqs = [Request(prompt=p, steps=6, temperature=0.0) for p in prompts]
+        for r in reqs:
+            eng.submit(r)
+        outs = [collect(r) for r in reqs]
+        for p, got in zip(prompts, outs):
+            want_ids = oracle_chain(cfg, np_params, tok.encode(p), 6)
+            assert got == [tok.decode_token(i) for i in want_ids]
+    finally:
+        eng.stop()
+    # prompt+BOS ~25-29 tokens -> t_pad bucket 32; cap = 64 // 32 = 2 rows
+    assert any(len_ <= 2 for len_ in groups) and sum(groups) == 4, groups
+
+
+def test_prefill_k_cap_shapes():
+    from rama_tpu.runtime.engine import _bucket_k, _prefill_k_cap
+
+    assert _prefill_k_cap(2048) == 2          # 4096 // 2048
+    assert _prefill_k_cap(1024) == 4
+    assert _prefill_k_cap(4096) == 1
+    assert _prefill_k_cap(16384) == 1         # at least one row
+    assert _prefill_k_cap(2048, dp=8) == 8    # never below a replica row
+    assert _prefill_k_cap(2048, dp=3) == 3    # dp * 2^j form
+    assert _bucket_k(8, 1, 8, 2048) == 2      # capped long-prompt bucket
+    assert _bucket_k(8, 1, 8, 16) == 8        # small-area fast path intact

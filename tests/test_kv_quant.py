@@ -224,3 +224,37 @@ def test_write_kv_paged_q8_matches_scatter(ps, t):
                 ks.at[l, pg, hi, off].set(ksc), vs.at[l, pg, hi, off].set(vsc))
         for g, w in zip(got, want):
             assert np.array_equal(np.asarray(g), np.asarray(w))
+
+
+@pytest.mark.parametrize("s,t,k", [(64, 16, 3), (256, 40, 4), (48, 48, 2)])
+def test_write_kv_strips_q8_matches_scatter(s, t, k):
+    """The admission strip writer (prefill insert) must byte-match the XLA
+    whole-cache scatter, including tile-rounded windows (t=40 -> 64-row
+    window at s=256) and duplicate padded slots."""
+    from rama_tpu.ops.pallas.kv_write import write_kv_strips_q8
+
+    rng = np.random.default_rng(17)
+    L, B, nkv, hd = 3, 6, 2, 128
+    k8 = jnp.asarray(rng.integers(-127, 128, (L, B, nkv, s, hd)), jnp.int8)
+    v8 = jnp.asarray(rng.integers(-127, 128, (L, B, nkv, s, hd)), jnp.int8)
+    ks = jnp.asarray(rng.standard_normal((L, B, nkv, s)), jnp.float32)
+    vs = jnp.asarray(rng.standard_normal((L, B, nkv, s)), jnp.float32)
+    kq = rng.integers(-127, 128, (L, k, nkv, t, hd)).astype(np.int8)
+    vq = rng.integers(-127, 128, (L, k, nkv, t, hd)).astype(np.int8)
+    ksc = rng.standard_normal((L, k, nkv, t)).astype(np.float32)
+    vsc = rng.standard_normal((L, k, nkv, t)).astype(np.float32)
+    # last entry duplicated (batch padding) with an identical strip
+    slots = np.arange(k, dtype=np.int32)
+    if k > 1:
+        slots[-1] = slots[-2]
+    if k > 1:
+        kq[:, -1], vq[:, -1] = kq[:, -2], vq[:, -2]
+        ksc[:, -1], vsc[:, -1] = ksc[:, -2], vsc[:, -2]
+    kq, vq = jnp.asarray(kq), jnp.asarray(vq)
+    ksc, vsc = jnp.asarray(ksc), jnp.asarray(vsc)
+    got = write_kv_strips_q8(k8, v8, ks, vs, kq, vq, ksc, vsc,
+                             jnp.asarray(slots), interpret=True)
+    want = (k8.at[:, slots, :, :t].set(kq), v8.at[:, slots, :, :t].set(vq),
+            ks.at[:, slots, :, :t].set(ksc), vs.at[:, slots, :, :t].set(vsc))
+    for g, w in zip(got, want):
+        assert np.array_equal(np.asarray(g), np.asarray(w))
