@@ -285,6 +285,82 @@ def write_kv_strips_q8(k8, v8, ks, vs, kq, vq, ksc, vsc, slots, *,
     )(scalars, kq, vq, ksc, vsc, k8, v8, ks, vs)
 
 
+def _paged_strip_kernel(sc_ref, kq_ref, vq_ref, ksc_ref, vsc_ref,
+                        kin_ref, vin_ref, ksin_ref, vsin_ref,
+                        ko_ref, vo_ref, kso_ref, vso_ref, *, t: int, ps: int):
+    p = pl.program_id(1)
+    rows = p * ps + jax.lax.broadcasted_iota(jnp.int32, (ps, 1), 0)
+    sel = (rows < t)[None]                                 # (1, ps, 1)
+    ko_ref[0, 0] = jnp.where(sel, kq_ref[0], kin_ref[0, 0])
+    vo_ref[0, 0] = jnp.where(sel, vq_ref[0], vin_ref[0, 0])
+    ci = p * ps + jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
+    selc = ci < t
+    kso_ref[0, 0] = jnp.where(selc, ksc_ref[0], ksin_ref[0, 0])
+    vso_ref[0, 0] = jnp.where(selc, vsc_ref[0], vsin_ref[0, 0])
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def write_kv_prefill_paged_q8(k8, v8, ks, vs, kq, vq, ksc, vsc,
+                              page_table_row, *, interpret: bool = False):
+    """Write ONE slot's prefilled strip into the int8 page pool in place —
+    the paged companion of write_kv_strips_q8 (paged._insert_prefill_paged's
+    device half; called per admitted slot, also from inside shard_map on
+    the local TP shard).
+
+    k8/v8 (L, P, nkv, ps, hd) int8 pools and ks/vs (L, P, nkv, ps) f32 are
+    DONATED; strip row i of kq/vq (L, nkv, T, hd) int8 (ksc/vsc (L, nkv, T)
+    f32) lands in physical page page_table_row[i // ps] at offset i % ps.
+    The XLA int8 pool scatter materializes the whole pool per slot insert;
+    this DMAs exactly the ceil(T / ps) pages the strip occupies.
+    """
+    L, P, nkv, ps, hd = k8.shape
+    t = kq.shape[2]
+    np_ = -(-t // ps)
+    pad = np_ * ps - t
+    kq = jnp.pad(kq, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    vq = jnp.pad(vq, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    ksc = jnp.pad(ksc, ((0, 0), (0, 0), (0, pad)))
+    vsc = jnp.pad(vsc, ((0, 0), (0, 0), (0, pad)))
+    scalars = jnp.maximum(page_table_row[:np_], 0).astype(jnp.int32)
+
+    strip_idx = lambda l, p, sc: (l, 0, p, 0)
+    stripc_idx = lambda l, p, sc: (l, 0, p)
+    row_idx = lambda l, p, sc: (l, sc[p], 0, 0, 0)
+    col_idx = lambda l, p, sc: (l, sc[p], 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L, np_),
+        in_specs=[
+            pl.BlockSpec((1, nkv, ps, hd), strip_idx),
+            pl.BlockSpec((1, nkv, ps, hd), strip_idx),
+            pl.BlockSpec((1, nkv, ps), stripc_idx),
+            pl.BlockSpec((1, nkv, ps), stripc_idx),
+            pl.BlockSpec((1, 1, nkv, ps, hd), row_idx),
+            pl.BlockSpec((1, 1, nkv, ps, hd), row_idx),
+            pl.BlockSpec((1, 1, nkv, ps), col_idx),
+            pl.BlockSpec((1, 1, nkv, ps), col_idx),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, nkv, ps, hd), row_idx),
+            pl.BlockSpec((1, 1, nkv, ps, hd), row_idx),
+            pl.BlockSpec((1, 1, nkv, ps), col_idx),
+            pl.BlockSpec((1, 1, nkv, ps), col_idx),
+        ],
+    )
+    return pl.pallas_call(
+        partial(_paged_strip_kernel, t=t, ps=ps),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k8.shape, k8.dtype),
+            jax.ShapeDtypeStruct(v8.shape, v8.dtype),
+            jax.ShapeDtypeStruct(ks.shape, ks.dtype),
+            jax.ShapeDtypeStruct(vs.shape, vs.dtype),
+        ],
+        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+        interpret=interpret,
+    )(scalars, kq, vq, ksc, vsc, k8, v8, ks, vs)
+
+
 def _paged_kernel(sc_ref, kq_ref, vq_ref, ksc_ref, vsc_ref,
                   kin_ref, vin_ref, ksin_ref, vsin_ref,
                   ko_ref, vo_ref, kso_ref, vso_ref,

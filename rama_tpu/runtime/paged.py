@@ -440,7 +440,8 @@ decode_step_paged = partial(jax.jit, static_argnames=("cfg",),
 
 
 def _insert_prefill_paged_impl(cache: PagedKVCache, k_strip, v_strip,
-                               page_table_row: jax.Array):
+                               page_table_row: jax.Array,
+                               _interpret: bool = False):
     """Write a prefilled (L, n_kv, T, hd) strip into one slot's pages.
 
     T must be <= the slot's reserved pages * page_size; position i maps to
@@ -459,6 +460,17 @@ def _insert_prefill_paged_impl(cache: PagedKVCache, k_strip, v_strip,
     if isinstance(cache, QuantPagedKVCache):
         from rama_tpu.models.llama import kv_quant_rows
 
+        if jax.default_backend() == "tpu" or _interpret:
+            # in-place page writes: the XLA int8 pool scatter materializes
+            # the whole pool per slot insert (see kv_write)
+            from rama_tpu.ops.pallas.kv_write import write_kv_prefill_paged_q8
+
+            kq, ksc = kv_quant_rows(k_strip)          # (L, nkv, T, hd/.)
+            vq, vsc = kv_quant_rows(v_strip)
+            k8, v8, kss, vss = write_kv_prefill_paged_q8(
+                cache.k, cache.v, cache.ks, cache.vs, kq, vq, ksc, vsc,
+                page_table_row, interpret=_interpret)
+            return QuantPagedKVCache(k=k8, v=v8, ks=kss, vs=vss)
         kq, ksc = kv_quant_rows(val_k)
         vq, vsc = kv_quant_rows(val_v)
         return QuantPagedKVCache(

@@ -258,3 +258,33 @@ def test_write_kv_strips_q8_matches_scatter(s, t, k):
             ks.at[:, slots, :, :t].set(ksc), vs.at[:, slots, :, :t].set(vsc))
     for g, w in zip(got, want):
         assert np.array_equal(np.asarray(g), np.asarray(w))
+
+
+@pytest.mark.parametrize("ps,t", [(16, 40), (128, 130), (32, 32)])
+def test_write_kv_prefill_paged_q8_matches_scatter(ps, t):
+    """The per-slot paged prefill-strip writer must byte-match the XLA pool
+    scatter, including partial last pages."""
+    from rama_tpu.ops.pallas.kv_write import write_kv_prefill_paged_q8
+
+    rng = np.random.default_rng(19)
+    L, P, nkv, hd = 2, 8, 2, 128
+    k8 = jnp.asarray(rng.integers(-127, 128, (L, P, nkv, ps, hd)), jnp.int8)
+    v8 = jnp.asarray(rng.integers(-127, 128, (L, P, nkv, ps, hd)), jnp.int8)
+    ks = jnp.asarray(rng.standard_normal((L, P, nkv, ps)), jnp.float32)
+    vs = jnp.asarray(rng.standard_normal((L, P, nkv, ps)), jnp.float32)
+    kq = jnp.asarray(rng.integers(-127, 128, (L, nkv, t, hd)), jnp.int8)
+    vq = jnp.asarray(rng.integers(-127, 128, (L, nkv, t, hd)), jnp.int8)
+    ksc = jnp.asarray(rng.standard_normal((L, nkv, t)), jnp.float32)
+    vsc = jnp.asarray(rng.standard_normal((L, nkv, t)), jnp.float32)
+    row = jnp.asarray(rng.permutation(P)[: -(-t // ps) + 1], jnp.int32)
+    got = write_kv_prefill_paged_q8(k8, v8, ks, vs, kq, vq, ksc, vsc, row,
+                                    interpret=True)
+    pos = jnp.arange(t)
+    pg = jnp.take(row, pos // ps)[:, None]
+    off = (pos % ps)[:, None]
+    hi = jnp.arange(nkv)[None, :]
+    tr = lambda a: a.transpose(0, 2, 1, 3) if a.ndim == 4 else a.transpose(0, 2, 1)
+    want = (k8.at[:, pg, hi, off].set(tr(kq)), v8.at[:, pg, hi, off].set(tr(vq)),
+            ks.at[:, pg, hi, off].set(tr(ksc)), vs.at[:, pg, hi, off].set(tr(vsc)))
+    for g, w in zip(got, want):
+        assert np.array_equal(np.asarray(g), np.asarray(w))

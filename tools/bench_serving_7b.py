@@ -36,6 +36,7 @@ def main():
     ap.add_argument("--kv-quant", default="int8", choices=["none", "int8"])
     ap.add_argument("--spec-tick", type=int, default=0)
     ap.add_argument("--spec-rounds", type=int, default=4)
+    ap.add_argument("--paged", action="store_true")
     ap.add_argument("--max-seq-len", type=int, default=512)
     ap.add_argument("--port", type=int, default=3419)
     ap.add_argument("--temperature", type=float, default=0.9)
@@ -60,7 +61,7 @@ def main():
     ecfg = EngineConfig(
         max_batch_size=args.batch, decode_tick=args.decode_tick,
         max_seq_len=args.max_seq_len, spec_tick=args.spec_tick,
-        spec_rounds=args.spec_rounds,
+        spec_rounds=args.spec_rounds, paged_kv=args.paged,
         kv_quant=None if args.kv_quant == "none" else args.kv_quant)
     engine = Engine(cfg, params, tok, ecfg)
     # precompile the full (k, T)-bucket/tick program grid before any traffic
