@@ -26,6 +26,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from collections import deque
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Optional
@@ -134,6 +135,14 @@ def _prefill_k_cap(t_pad: int, dp: int = 1) -> int:
 # dormancy decision
 _SPEC_DORMANT_TICKS = 64
 _SPEC_PROBE_ROUNDS = 8
+
+# Dispatched-but-unfetched ticks kept in flight (the chain depth). One tick
+# in flight only hides the ~25 ms host round-trip when a dispatch's device
+# time exceeds it; short ticks / small batches starve the device in the
+# dispatch gap (measured: b=1 int4 spec dispatches at ~33 ms device lost to
+# plain, b=8 plain at ~87 ms did not). Three keeps the device fed through
+# one full round-trip of jitter either side.
+_PIPELINE_DEPTH = 3
 
 
 @partial(jax.jit, static_argnames=("cfg", "n"), donate_argnames=("cache",))
@@ -608,20 +617,18 @@ class Engine:
         self.req_counter = 0
         # pipelined-tick state: the dispatched-but-unfetched tick (primary)
         # and the last device token matrix (both hosts; feeds chained ticks)
-        self._inflight: dict | None = None
+        self._inflight_q: "deque[dict]" = deque()
         self._last_out = None
         # pipelined SPEC state: the dispatched-but-unfetched spec scan and
         # the device-resident (tokens, pos, hist) carries that seed a
         # chained successor (followers keep their own copy via
         # _dev_spec_scan; identical on every host)
-        self._spec_inflight: dict | None = None
+        self._spec_inflight_q: "deque[dict]" = deque()
         self._last_spec: tuple | None = None
         # adaptive speculation (EngineConfig.spec_min_accept): rolling
         # per-round accept fractions; when their mean stays below the
         # threshold, spec goes dormant for _SPEC_DORMANT_TICKS plain
         # (chained) ticks, then probes again
-        from collections import deque
-
         self._spec_window: "deque[float]" = deque(maxlen=64)
         self._spec_dormant = 0
         # chunked-prefill state: the single active job and entries waiting
@@ -1314,8 +1321,8 @@ class Engine:
 
                 traceback.print_exc()
                 self.metrics["engine_errors"] += 1
-                self._inflight = None  # its buffers may be poisoned
-                self._spec_inflight = None
+                self._inflight_q.clear()  # their buffers may be poisoned
+                self._spec_inflight_q.clear()
                 self._last_spec = None
                 self._pf_job = None
                 self._pf_pending = []
@@ -1331,16 +1338,16 @@ class Engine:
                 self._reset_cache()
         # graceful stop: drain the in-flight tick so its tokens reach the
         # streams instead of vanishing with the thread
-        if self._inflight is not None:
+        while self._inflight_q:
             try:
-                self._process_inflight()
+                self._process_inflight(self._inflight_q.popleft())
             except Exception:  # noqa: BLE001
-                self._inflight = None
-        if self._spec_inflight is not None:
+                self._inflight_q.clear()
+        while self._spec_inflight_q:
             try:
-                self._process_spec_inflight()
+                self._process_spec_inflight(self._spec_inflight_q.popleft())
             except Exception:  # noqa: BLE001
-                self._spec_inflight = None
+                self._spec_inflight_q.clear()
 
     def _reset_cache(self):
         if self.paged:
@@ -1366,25 +1373,35 @@ class Engine:
 
     def _loop_once(self):
         # Pipelined decode: while tick k's results are still on the device,
-        # tick k+1 is dispatched from k's device-resident output tokens (the
-        # sampled feedback never leaves the device), THEN k's tokens are
-        # fetched and emitted — so the per-dispatch host round-trip (fetch +
-        # emit + dispatch, ~25 ms fixed over a remote-TPU tunnel) overlaps
-        # device compute instead of serializing with it. The chain breaks
-        # whenever host state must influence the next tick (a queued
-        # admission, speculation's host drafts, engine stop).
-        if self._inflight is not None:
-            nxt = self._dispatch_chained() if self._chain_ok() else None
-            self._process_inflight()
-            self._inflight = nxt
-            if nxt is not None:
+        # ticks k+1..k+D are dispatched from the device-resident output
+        # tokens (the sampled feedback never leaves the device), THEN k's
+        # tokens are fetched and emitted — so the per-dispatch host
+        # round-trip (fetch + emit + dispatch, ~25 ms fixed over a
+        # remote-TPU tunnel) overlaps device compute instead of serializing
+        # with it. Depth > 1 matters when one dispatch's device time is
+        # comparable to the round-trip (short ticks, small batches): with a
+        # single tick in flight the device starves for the dispatch gap
+        # whenever device_time < RTT. The chain breaks whenever host state
+        # must influence the next tick (a queued admission, engine stop).
+        if self._inflight_q:
+            while (len(self._inflight_q) < _PIPELINE_DEPTH
+                   and self._chain_ok()):
+                nxt = self._dispatch_chained(self._inflight_q[-1])
+                if nxt is None:
+                    break
+                self._inflight_q.append(nxt)
+            self._process_inflight(self._inflight_q.popleft())
+            if self._inflight_q:
                 return
-        if self._spec_inflight is not None:
-            nxt = (self._dispatch_spec_chained()
-                   if self._spec_chain_ok() else None)
-            self._process_spec_inflight()
-            self._spec_inflight = nxt
-            if nxt is not None:
+        if self._spec_inflight_q:
+            while (len(self._spec_inflight_q) < _PIPELINE_DEPTH
+                   and self._spec_chain_ok()):
+                nxt = self._dispatch_spec_chained(self._spec_inflight_q[-1])
+                if nxt is None:
+                    break
+                self._spec_inflight_q.append(nxt)
+            self._process_spec_inflight(self._spec_inflight_q.popleft())
+            if self._spec_inflight_q:
                 return
         with self.phases.phase("admit"):
             self._admit()
@@ -1437,12 +1454,12 @@ class Engine:
             with self.phases.phase("dispatch"):
                 samples, accepts = self._dev_spec_scan(
                     tokens, pos, temps, tps, self.slot_keys, hist, k, m)
-            self._spec_inflight = {
-                "samples": samples, "accepts": accepts, "pos": pos,
-                "m": m, "k": k, "temps": temps, "tps": tps,
-                "carry": self._last_spec,
-                "reqs": [None if s.prefilling else s.request
-                         for s in self.slots]}
+            self._spec_inflight_q.append(
+                {"samples": samples, "accepts": accepts, "pos": pos,
+                 "m": m, "k": k, "temps": temps, "tps": tps,
+                 "carry": self._last_spec, "gen_ahead": m * (k + 1),
+                 "reqs": [None if s.prefilling else s.request
+                          for s in self.slots]})
             return
         # Shrink the tick so no slot overshoots its remaining token budget by
         # much: one dispatch still yields up to decode_tick tokens, but a tick
@@ -1458,10 +1475,11 @@ class Engine:
         with self.phases.phase("dispatch"):
             out = self._dev_tick_async(tokens, pos, temps, tps,
                                        self.slot_keys, n)
-        self._inflight = {"out": out, "n": n, "pos": pos, "temps": temps,
-                          "tps": tps,
-                          "reqs": [None if s.prefilling else s.request
-                                   for s in self.slots]}
+        self._inflight_q.append(
+            {"out": out, "n": n, "pos": pos, "temps": temps, "tps": tps,
+             "gen_ahead": n,
+             "reqs": [None if s.prefilling else s.request
+                      for s in self.slots]})
 
     def _chain_ok(self) -> bool:
         """Dispatch tick k+1 from tick k's device-resident tokens?
@@ -1477,15 +1495,14 @@ class Engine:
                 and self._pf_job is None
                 and not self._stop.is_set())
 
-    def _dispatch_chained(self):
-        """Dispatch the successor of the in-flight tick before fetching its
-        results. Tokens come straight from the in-flight tick's device
-        output (out[-1]); positions/temps are host bookkeeping, unchanged
-        since no admission happened. Slots that finish inside the in-flight
-        tick waste their chained rows (discarded at emit, KV writes land
-        above any attended position) — the standard speculative-overshoot
-        trade."""
-        inf = self._inflight
+    def _dispatch_chained(self, inf):
+        """Dispatch the successor of in-flight tick `inf` (the NEWEST
+        dispatched) before fetching results. Tokens come straight from the
+        in-flight tick's device output (out[-1]); positions/temps are host
+        bookkeeping, unchanged since no admission happened. Slots that
+        finish inside an in-flight tick waste their chained rows (discarded
+        at emit, KV writes land above any attended position) — the standard
+        speculative-overshoot trade."""
         b = len(self.slots)
         pos = np.zeros(b, np.int32)
         act = []
@@ -1495,9 +1512,10 @@ class Engine:
                 act.append(s)
         if not act:
             return None
-        # assume the in-flight tick emits fully; if that exhausts every
-        # budget there is nothing worth chaining
-        remaining = min(s.request.steps - (s.generated + inf["n"])
+        # assume every in-flight tick emits fully; if that exhausts every
+        # budget there is nothing worth chaining (gen_ahead accumulates the
+        # whole unfetched pipeline, not just the immediate predecessor)
+        remaining = min(s.request.steps - (s.generated + inf["gen_ahead"])
                         for s in act)
         if remaining <= 0:
             return None
@@ -1512,7 +1530,8 @@ class Engine:
             out = self._dev_tick_async(inf["out"][-1], pos, inf["temps"],
                                        inf["tps"], self.slot_keys, n)
         return {"out": out, "n": n, "pos": pos, "temps": inf["temps"],
-                "tps": inf["tps"], "reqs": inf["reqs"]}
+                "tps": inf["tps"], "reqs": inf["reqs"],
+                "gen_ahead": inf["gen_ahead"] + n}
 
     def _spec_chain_ok(self) -> bool:
         """Dispatch spec tick k+1 from tick k's device carries? Same host-
@@ -1522,14 +1541,14 @@ class Engine:
         return (self.spec and self.admission.qsize() == 0
                 and self._pf_job is None and not self._stop.is_set())
 
-    def _dispatch_spec_chained(self):
-        """Dispatch the successor spec scan before fetching the in-flight
-        one. Tokens/positions/history come from the in-flight tick's device
-        carries; the host only knows the worst-case positions (every round
-        fully accepted), so the m-shrink and page reservation use those —
-        conservative, never unsafe. Slots that finish inside the in-flight
-        tick waste their chained rows (discarded at emit)."""
-        inf = self._spec_inflight
+    def _dispatch_spec_chained(self, inf):
+        """Dispatch the successor of in-flight spec scan `inf` (the NEWEST
+        dispatched) before fetching results. Tokens/positions/history come
+        from the in-flight tick's device carries; the host only knows the
+        worst-case positions (every round fully accepted), so the m-shrink
+        and page reservation use those — conservative, never unsafe. Slots
+        that finish inside an in-flight tick waste their chained rows
+        (discarded at emit)."""
         if inf["carry"] is None:
             return None
         k = inf["k"]
@@ -1550,7 +1569,7 @@ class Engine:
             return None
         # assume the in-flight tick emitted fully; if that exhausts every
         # budget there is nothing worth chaining
-        remaining = min(s.request.steps - (s.generated + inf["m"] * (k + 1))
+        remaining = min(s.request.steps - (s.generated + inf["gen_ahead"])
                         for _, s in act)
         if remaining <= 0:
             return None
@@ -1568,13 +1587,13 @@ class Engine:
                 hist_d, k, m)
         return {"samples": samples, "accepts": accepts, "pos": pos_wc,
                 "m": m, "k": k, "temps": inf["temps"], "tps": inf["tps"],
-                "carry": self._last_spec, "reqs": inf["reqs"]}
+                "carry": self._last_spec, "reqs": inf["reqs"],
+                "gen_ahead": inf["gen_ahead"] + m * (k + 1)}
 
-    def _process_spec_inflight(self):
-        """Fetch the in-flight spec scan's samples/accepts (blocks until the
-        device finishes) and emit them. Slots whose request changed since
-        dispatch discard their rows."""
-        inf = self._spec_inflight
+    def _process_spec_inflight(self, inf):
+        """Fetch in-flight spec scan `inf`'s samples/accepts (blocks until
+        the device finishes) and emit them. Slots whose request changed
+        since dispatch discard their rows."""
         k = inf["k"]
         t0 = time.time()
         with self.phases.phase("fetch"):
@@ -1602,7 +1621,6 @@ class Engine:
                             break
                 if drafted:
                     self._spec_window.append(accepted / drafted)
-        self._spec_inflight = None
         # adaptive speculation: a spec round costs ~1.15x a plain step and
         # emits 1 + frac*k tokens vs the step's 1 — below spec_min_accept,
         # plain chained ticks serve faster, so go dormant and re-probe later
@@ -1612,11 +1630,10 @@ class Engine:
             self._spec_dormant = _SPEC_DORMANT_TICKS
             self._spec_window.clear()
 
-    def _process_inflight(self):
-        """Fetch the in-flight tick's tokens (blocks until the device
+    def _process_inflight(self, inf):
+        """Fetch in-flight tick `inf`'s tokens (blocks until the device
         finishes) and emit them. Slots whose request changed since dispatch
         discard their rows."""
-        inf = self._inflight
         t0 = time.time()
         with self.phases.phase("fetch"):
             nxt = np.asarray(inf["out"])                       # (n, B)
@@ -1635,7 +1652,6 @@ class Engine:
                     self._emit(s, s.last_token)
                     if s.free:  # finished mid-tick; drop speculative tokens
                         break
-        self._inflight = None
 
     def _reserve_tick_pages(self, pos, n: int, finish_on_fail: bool) -> bool:
         """Grow page tables to cover all n positions a tick writes. Returns

@@ -405,9 +405,9 @@ def test_spec_chained_ticks_match_oracle(engine_setup):
     chained = 0
     orig = eng._dispatch_spec_chained
 
-    def counting():
+    def counting(inf):
         nonlocal chained
-        out = orig()
+        out = orig(inf)
         if out is not None:
             chained += 1
         return out
@@ -437,9 +437,9 @@ def test_adaptive_spec_goes_dormant_and_stream_unchanged(engine_setup):
     plain_chained = 0
     orig = eng._dispatch_chained
 
-    def counting():
+    def counting(inf):
         nonlocal plain_chained
-        out = orig()
+        out = orig(inf)
         if out is not None:
             plain_chained += 1
         return out

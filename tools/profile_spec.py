@@ -23,6 +23,8 @@ def log(m):
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -31,11 +33,16 @@ def main():
     from rama_tpu.models.llama import QuantKVCache
     from rama_tpu.runtime.engine import _decode_tick, _spec_scan_tick
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bits", type=int, default=8, choices=(4, 8))
+    ap.add_argument("--batch", type=int, default=8)
+    args = ap.parse_args()
+
     cfg = _flagship_config()
-    params = jax.block_until_ready(_random_quant_params(cfg, bits=8))
+    params = jax.block_until_ready(_random_quant_params(cfg, bits=args.bits))
     log("params loaded")
 
-    b, s, k, m = 8, 512, 3, 4
+    b, s, k, m = args.batch, 512, 3, 4
     cache = QuantKVCache.create(cfg, batch=b, max_len=s)
     tokens = jnp.ones((b,), jnp.int32)
     pos = jnp.full((b,), 128, jnp.int32)
