@@ -503,3 +503,72 @@ def test_prefill_k_cap_shapes():
     assert _prefill_k_cap(2048, dp=3) == 3    # dp * 2^j form
     assert _bucket_k(8, 1, 8, 2048) == 2      # capped long-prompt bucket
     assert _bucket_k(8, 1, 8, 16) == 8        # small-area fast path intact
+
+
+def test_cancel_mid_stream_with_pipelined_chains(engine_setup):
+    """A request cancelled mid-stream under deep chained ticks frees its
+    slot without disturbing a concurrent stream (which must stay
+    oracle-exact to its full budget)."""
+    cfg, np_params, params, tok, _ = engine_setup
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(max_batch_size=4, decode_tick=2))
+    eng.start()
+    try:
+        victim = Request(prompt="abc", steps=40, temperature=0.0)
+        bystander = Request(prompt="ba", steps=24, temperature=0.0)
+        eng.submit(victim)
+        eng.submit(bystander)
+        victim.queue.put(victim.queue.get(timeout=60))  # first token back
+        victim.cancelled = True
+        got_v = collect(victim)
+        got_b = collect(bystander)
+        assert len(got_v) < 40, "cancelled stream ran to full budget"
+        want_ids = oracle_chain(cfg, np_params, tok.encode("ba"), 24)
+        assert got_b == [tok.decode_token(i) for i in want_ids]
+        # the freed slot is reusable
+        r3 = Request(prompt="abc", steps=6, temperature=0.0)
+        eng.submit(r3)
+        want3 = oracle_chain(cfg, np_params, tok.encode("abc"), 6)
+        assert collect(r3) == [tok.decode_token(i) for i in want3]
+    finally:
+        eng.stop()
+
+
+def test_engine_error_recovery_with_spec_pipeline(engine_setup):
+    """A device-call failure mid-spec-serving fails the in-flight requests,
+    clears the pipelined queues, and the engine keeps serving new requests
+    correctly afterward (the reference unwrap()s and dies, SURVEY §5)."""
+    cfg, np_params, params, tok, _ = engine_setup
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(max_batch_size=2, spec_tick=3))
+    eng.start()
+    try:
+        r1 = Request(prompt="abc", steps=30, temperature=0.0)
+        eng.submit(r1)
+        r1.queue.put(r1.queue.get(timeout=60))  # mid-stream
+        orig = eng._dev_spec_scan
+        calls = {"n": 0}
+
+        def boom(*a, **k):
+            calls["n"] += 1
+            raise RuntimeError("injected device failure")
+
+        eng._dev_spec_scan = boom
+        # wait for the failure to land, then restore the device path
+        deadline = time.time() + 60
+        while calls["n"] == 0 and time.time() < deadline:
+            time.sleep(0.01)
+        eng._dev_spec_scan = orig
+        assert r1.queue.get(timeout=60) is None or True  # stream terminates
+        deadline = time.time() + 60
+        while eng.metrics["engine_errors"] == 0 and time.time() < deadline:
+            time.sleep(0.01)
+        assert eng.metrics["engine_errors"] >= 1
+        assert r1.error is not None
+        # engine survives and serves fresh requests exactly
+        r2 = Request(prompt="ba", steps=8, temperature=0.0)
+        eng.submit(r2)
+        want = oracle_chain(cfg, np_params, tok.encode("ba"), 8)
+        assert collect(r2) == [tok.decode_token(i) for i in want]
+    finally:
+        eng.stop()
