@@ -59,9 +59,12 @@ f.addEventListener('submit', (e) => {
 </body></html>"""
 
 
+ENGINE_KEY = web.AppKey("engine", Engine)
+
+
 def build_app(engine: Engine, default_steps: int = 255) -> web.Application:
     app = web.Application()
-    app["engine"] = engine
+    app[ENGINE_KEY] = engine
 
     async def home(_req):
         return web.Response(text=HTML_PAGE, content_type="text/html")
