@@ -39,9 +39,16 @@ def log(m):
 
 
 def device_busy_us(fn, reps: int = 3):
-    """Trace fn() and return min over reps of the summed durations of
-    device-lane events (pids whose process_name mentions TPU), or the
-    profile_decode-style all-events sum if no device pid is labeled."""
+    """Trace fn() and return min over reps of the device-pid "XLA Modules"
+    lane total (whole-program device occupancy).
+
+    Summing ALL device-lane events double-counts: every TPU pid carries both
+    an "XLA Modules" lane (one event per executed program) and an "XLA Ops"
+    lane (the same time split per op), and scan-heavy programs inflated 4x+
+    that way (measured late r4: 58 ms/step vs 14.2 ms by wall slope for the
+    identical b=8 int8 program — earlier RATIOS from this tool stay valid,
+    absolute rows don't). Falls back to the all-events sum only if no module
+    lane is labeled."""
     best = None
     for _ in range(reps):
         tdir = tempfile.mkdtemp(prefix="spectrace_")
@@ -58,11 +65,18 @@ def device_busy_us(fn, reps: int = 3):
         dev_pids = {e["pid"] for e in events
                     if e.get("ph") == "M" and e.get("name") == "process_name"
                     and "TPU" in str(e.get("args", {}).get("name", ""))}
+        module_tids = {(e["pid"], e.get("tid")) for e in events
+                       if e.get("ph") == "M" and e.get("name") == "thread_name"
+                       and e["pid"] in dev_pids
+                       and e.get("args", {}).get("name") == "XLA Modules"}
         tot = 0.0
         for e in events:
             if e.get("ph") != "X" or "dur" not in e:
                 continue
-            if dev_pids and e.get("pid") not in dev_pids:
+            if module_tids:
+                if (e.get("pid"), e.get("tid")) not in module_tids:
+                    continue
+            elif dev_pids and e.get("pid") not in dev_pids:
                 continue
             nm = e.get("name", "")
             if nm.startswith(("$", "process_")) or "TSl" in nm:
