@@ -18,7 +18,6 @@ from rama_tpu.checkpoint import (load_checkpoint_quantized, load_config,
                                  save_v0)
 from rama_tpu.cli import main
 from rama_tpu.testing.ref_model import random_params, tiny_config
-from rama_tpu.tokenizer import Tokenizer
 
 
 def write_tokenizer_bin(path, vocab_size):

@@ -10,7 +10,6 @@ test_engine.py; here the subject is the aiohttp layer in server/app.py.
 """
 
 import asyncio
-import queue as queue_mod
 
 import jax.numpy as jnp
 import numpy as np

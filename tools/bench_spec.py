@@ -69,14 +69,19 @@ def device_busy_us(fn, reps: int = 3):
                        if e.get("ph") == "M" and e.get("name") == "thread_name"
                        and e["pid"] in dev_pids
                        and e.get("args", {}).get("name") == "XLA Modules"}
+        # per-pid fallback: a device pid without a labeled module lane (seen
+        # in some multi-chip traces) contributes its all-events sum instead
+        # of being silently dropped (ADVICE r4)
+        module_pids = {pid for pid, _ in module_tids}
         tot = 0.0
         for e in events:
             if e.get("ph") != "X" or "dur" not in e:
                 continue
-            if module_tids:
-                if (e.get("pid"), e.get("tid")) not in module_tids:
+            pid = e.get("pid")
+            if pid in module_pids:
+                if (pid, e.get("tid")) not in module_tids:
                     continue
-            elif dev_pids and e.get("pid") not in dev_pids:
+            elif dev_pids and pid not in dev_pids:
                 continue
             nm = e.get("name", "")
             if nm.startswith(("$", "process_")) or "TSl" in nm:
