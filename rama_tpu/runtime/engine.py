@@ -499,6 +499,13 @@ class Engine:
                               or self.pf_chunk & (self.pf_chunk - 1)):
             raise ValueError(f"prefill_chunk {self.pf_chunk} must be a "
                              f"power of two >= 16")
+        # prompts LONGER than pf_engage route through the chunked job;
+        # shorter ones take the direct single-dispatch prefill
+        self.pf_engage = (self.ecfg.prefill_chunk_min
+                          if self.ecfg.prefill_chunk_min is not None
+                          else 4 * self.pf_chunk)
+        if self.pf_chunk and self.pf_engage < self.pf_chunk:
+            raise ValueError("prefill_chunk_min must be >= prefill_chunk")
         if self.tp > 1:
             from rama_tpu.parallel.tp import validate_tp
 
@@ -635,6 +642,13 @@ class Engine:
         # for it to finish (their slots already assigned, prefilling=True)
         self._pf_job: dict | None = None
         self._pf_pending: list = []
+        # async-admit state: prefill groups dispatched while decode ticks
+        # were still in flight, their first tokens not yet fetched. Each is
+        # {"entries": [...], "firsts": device (k,) array}. While non-empty,
+        # chaining is blocked (a chained tick dispatched AFTER the prefill
+        # would stomp the admitted slots' fresh KV rows) and the firsts are
+        # fetched+emitted once the pipeline drains (VERDICT r4 next #2).
+        self._admit_jobs: list = []
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self._wake = threading.Event()
@@ -760,7 +774,7 @@ class Engine:
                 break
             t *= 2
         for t_pad in ts:
-            if self.pf_chunk and t_pad > self.pf_chunk:
+            if self.pf_chunk and t_pad > _bucket(self.pf_engage):
                 continue  # routed through the chunked job, warmed below
             kset = sorted({_bucket_k(nn, self.dp, b, t_pad)
                            for nn in range(1, b + 1)})
@@ -783,8 +797,9 @@ class Engine:
                     if self.paged:
                         payload.append(rows)
                     broadcast_step(payload)
-                self._dev_prefill_insert(tokens, true_lens, slots_arr, temps,
-                                         top_ps, keys, rows, 1)
+                np.asarray(  # warmup is blocking: barrier each compile
+                    self._dev_prefill_insert(tokens, true_lens, slots_arr,
+                                             temps, top_ps, keys, rows, 1))
                 count += 1
         if self.pf_chunk:
             # chunked-prefill job programs: the chunk step is ONE program per
@@ -792,7 +807,7 @@ class Engine:
             # (k_pad, t_pad) bucket above the chunk size
             from rama_tpu.parallel.distributed import broadcast_step
 
-            for t_pad in [t for t in ts if t > self.pf_chunk]:
+            for t_pad in [t for t in ts if t >= _bucket(self.pf_engage)]:
                 kset = sorted({_bucket_k(nn, self.dp, b, t_pad)
                                for nn in range(1, b + 1)})
                 for k_pad in kset:
@@ -971,6 +986,14 @@ class Engine:
         """Admit every queued request a free slot exists for, prefilling the
         whole batch in ONE padded (k, T) dispatch (serial per-request
         prefills stalled decode for N weight streams on a burst)."""
+        self._admit_dispatch()
+        self._complete_admit_jobs()
+
+    def _admit_dispatch(self):
+        """Dispatch-side half of admission: grab free slots, dispatch the
+        batched prefill(s). First tokens stay ON DEVICE in self._admit_jobs
+        until _complete_admit_jobs fetches and emits them — so the dispatch
+        can overlap an in-flight decode pipeline (async-firsts admission)."""
         batch: list[tuple[int, _Slot, Request]] = []
         for i, slot in enumerate(self.slots):
             if not slot.free:
@@ -994,9 +1017,32 @@ class Engine:
                     self._alloc(i).release(i)
                     self.page_tables[i, :] = self.trash_page
                 slot.request = None
+                slot.prefilling = False
                 if req.error is None:
                     req.error = "engine error during prefill"
                     req.queue.put(None)
+
+    def _complete_admit_jobs(self):
+        """Fetch the first tokens of every dispatched-but-unfetched prefill
+        group (blocks until the device reaches them) and emit. Entries whose
+        slot was reassigned/errored since dispatch are skipped."""
+        while self._admit_jobs:
+            job = self._admit_jobs.pop(0)
+            firsts = np.asarray(job["firsts"])
+            for j, (slot_idx, slot, req, ids, key, row) in enumerate(
+                    job["entries"]):
+                if slot.request is not req:
+                    continue
+                first = int(firsts[j])
+                slot.prefilling = False
+                slot.last_token = first
+                if req.echo_prompt:
+                    # the reference stream re-emits prompt tokens while
+                    # force-feeding them (mod.rs:227-241); serving callers
+                    # usually don't want that
+                    for t in req.prompt_ids:
+                        req.queue.put(self.tokenizer.decode_token(t))
+                self._emit(slot, first)
 
     def _start_requests(self, batch: list[tuple[int, _Slot, "Request"]]):
         # page bookkeeping first: a failed reserve rejects that request
@@ -1027,10 +1073,12 @@ class Engine:
             # (one chunk forward per loop iteration, interleaved with decode
             # ticks) instead of stalling every stream for one whole-prompt
             # dispatch; their slots are assigned now (prefilling=True) so
-            # capacity bookkeeping is unchanged
+            # capacity bookkeeping is unchanged. Only prompts beyond the
+            # engage threshold chunk — mid-size prompts are cheaper as one
+            # direct dispatch (r4 A/B: threshold==chunk tripled their TTFT)
             long_entries = [e for e in entries
-                            if len(e[3]) > self.pf_chunk]
-            entries = [e for e in entries if len(e[3]) <= self.pf_chunk]
+                            if len(e[3]) > self.pf_engage]
+            entries = [e for e in entries if len(e[3]) <= self.pf_engage]
             for entry in long_entries:
                 entry[1].request = entry[2]
                 entry[1].prefilling = True
@@ -1065,25 +1113,20 @@ class Engine:
             firsts = self._dev_prefill_insert(tokens, true_lens, slots_arr,
                                               temps, top_ps, keys, rows,
                                               n_real)
-        for j, (slot_idx, slot, req, ids, key, row) in enumerate(entries):
+        for slot_idx, slot, req, ids, key, row in entries:
             self.slot_keys[slot_idx] = key
-            first = int(firsts[j])
+            # slot assigned at DISPATCH (prefilling until the firsts fetch
+            # in _complete_admit_jobs) so a second dispatch cannot grab it
             slot.request = req
+            slot.prefilling = True
             slot.pos = len(ids)            # next decode position
             slot.generated = 0
-            slot.last_token = first
             # history buffer seeds the n-gram drafter; _emit appends each
-            # emitted token (including `first`, emitted just below)
+            # emitted token (including `first`, at completion)
             slot.hist = np.zeros(self._hist_cap, np.int32)
             slot.hist[: len(ids)] = ids
             slot.hist_len = len(ids)
-            if req.echo_prompt:
-                # the reference stream re-emits prompt tokens while
-                # force-feeding them (mod.rs:227-241); serving callers
-                # usually don't want that
-                for t in req.prompt_ids:
-                    req.queue.put(self.tokenizer.decode_token(t))
-            self._emit(slot, first)
+        self._admit_jobs.append({"entries": entries, "firsts": firsts})
 
     def _pad_entries(self, entries):
         """Pad admission entries to one (k_pad, t_pad) bucket. Pad rows
@@ -1276,7 +1319,7 @@ class Engine:
             firsts, self.cache = _prefill_insert(
                 self.params, self.cfg, *args, jnp.asarray(slots_arr),
                 self.cache)
-        return np.asarray(firsts)
+        return firsts  # DEVICE array — callers fetch when they need values
 
     def _emit(self, slot: _Slot, token: int):
         req = slot.request
@@ -1323,6 +1366,7 @@ class Engine:
                 self.metrics["engine_errors"] += 1
                 self._inflight_q.clear()  # their buffers may be poisoned
                 self._spec_inflight_q.clear()
+                self._admit_jobs.clear()  # slots finish via the loop below
                 self._last_spec = None
                 self._pf_job = None
                 self._pf_pending = []
@@ -1348,6 +1392,10 @@ class Engine:
                 self._process_spec_inflight(self._spec_inflight_q.popleft())
             except Exception:  # noqa: BLE001
                 self._spec_inflight_q.clear()
+        try:  # async-admitted firsts reach their streams too
+            self._complete_admit_jobs()
+        except Exception:  # noqa: BLE001
+            self._admit_jobs.clear()
 
     def _reset_cache(self):
         if self.paged:
@@ -1383,6 +1431,29 @@ class Engine:
         # single tick in flight the device starves for the dispatch gap
         # whenever device_time < RTT. The chain breaks whenever host state
         # must influence the next tick (a queued admission, engine stop).
+        if self._inflight_q or self._spec_inflight_q:
+            # Async-firsts admission (VERDICT r4 next #2): dispatch queued
+            # admissions' prefill NOW — the device executes it after the
+            # in-flight ticks, so prefill device time overlaps the pipeline
+            # drain instead of following it. The first tokens stay on device
+            # (self._admit_jobs) until the drain completes; chaining is
+            # blocked meanwhile (_chain_ok) so no stale tick lands after
+            # the insert.
+            if (self.admission.qsize() > 0 and not self._admit_jobs
+                    and not self._stop.is_set()):
+                with self.phases.phase("admit"):
+                    self._admit_dispatch()
+            # Chunked-prefill overlap: one chunk dispatch rides along with
+            # the chained ticks each iteration (the chunk touches only the
+            # job's scratch cache — no dependency on the decode stream).
+            # The FINAL chunk is held back: its finisher inserts into the
+            # main cache and must not be followed by stale chained ticks,
+            # so it waits for the drain (_chain_ok breaks the chain once
+            # the job is one chunk from done).
+            if (self._pf_job is not None
+                    and not self._pf_final_chunk_pending()):
+                with self.phases.phase("pf_chunk"):
+                    self._pf_step()
         if self._inflight_q:
             while (len(self._inflight_q) < _PIPELINE_DEPTH
                    and self._chain_ok()):
@@ -1485,15 +1556,25 @@ class Engine:
         """Dispatch tick k+1 from tick k's device-resident tokens?
 
         Only when no host-side state change is pending: the admission queue
-        is empty (a waiting request should get any freed slot instead of
-        another speculative tick for its previous owner), speculation is off
-        (spec mode pipelines through _dispatch_spec_chained instead), no
-        chunked-prefill job needs loop iterations, and the engine is not
-        stopping."""
+        is empty and no async-admitted prefill is unfetched (a chained tick
+        dispatched after the prefill-insert would stomp the new slot's KV
+        rows), speculation is off (spec mode pipelines through
+        _dispatch_spec_chained instead), any chunked-prefill job is not on
+        its final chunk (the finisher inserts into the main cache — same
+        stomping hazard; NON-final chunks ride along, dispatched from the
+        overlap path in _loop_once), and the engine is not stopping."""
         return ((not self.spec or self._spec_dormant > 0)
                 and self.admission.qsize() == 0
-                and self._pf_job is None
+                and not self._admit_jobs
+                and not self._pf_final_chunk_pending()
                 and not self._stop.is_set())
+
+    def _pf_final_chunk_pending(self) -> bool:
+        """True when the active chunked-prefill job's NEXT chunk dispatch
+        completes its coverage (so _pf_step would run the finisher)."""
+        job = self._pf_job
+        return (job is not None
+                and job["off"] + self.pf_chunk >= int(job["true_lens"].max()))
 
     def _dispatch_chained(self, inf):
         """Dispatch the successor of in-flight tick `inf` (the NEWEST
@@ -1539,7 +1620,9 @@ class Engine:
         the scan tick's (tokens, pos, hist) carries device-resident, a
         successor needs nothing from the host fetch."""
         return (self.spec and self.admission.qsize() == 0
-                and self._pf_job is None and not self._stop.is_set())
+                and not self._admit_jobs
+                and not self._pf_final_chunk_pending()
+                and not self._stop.is_set())
 
     def _dispatch_spec_chained(self, inf):
         """Dispatch the successor of in-flight spec scan `inf` (the NEWEST

@@ -53,7 +53,7 @@ def test_chunked_long_prompt_stream_identical(setup, temperature):
     plain = run_engine(cfg, np_params, tok, EngineConfig(max_batch_size=2),
                        [LONG], temperature=temperature)
     chunked = run_engine(cfg, np_params, tok,
-                         EngineConfig(max_batch_size=2, prefill_chunk=16),
+                         EngineConfig(max_batch_size=2, prefill_chunk=16, prefill_chunk_min=16),
                          [LONG], temperature=temperature)
     assert plain == chunked
 
@@ -66,7 +66,7 @@ def test_chunked_mixed_load(setup):
     plain = run_engine(cfg, np_params, tok, EngineConfig(max_batch_size=4),
                        prompts)
     chunked = run_engine(cfg, np_params, tok,
-                         EngineConfig(max_batch_size=4, prefill_chunk=16),
+                         EngineConfig(max_batch_size=4, prefill_chunk=16, prefill_chunk_min=16),
                          prompts)
     assert plain == chunked
 
@@ -79,7 +79,7 @@ def test_chunked_prefill_paged(setup):
                        [LONG, SHORT])
     chunked = run_engine(cfg, np_params, tok,
                          EngineConfig(max_batch_size=2, paged_kv=True,
-                                      kv_page_size=16, prefill_chunk=16),
+                                      kv_page_size=16, prefill_chunk=16, prefill_chunk_min=16),
                          [LONG, SHORT])
     assert plain == chunked
 
@@ -91,7 +91,7 @@ def test_chunked_prefill_kv_quant(setup):
                        [LONG])
     chunked = run_engine(cfg, np_params, tok,
                          EngineConfig(max_batch_size=2, kv_quant="int8",
-                                      prefill_chunk=16),
+                                      prefill_chunk=16, prefill_chunk_min=16),
                          [LONG])
     assert plain == chunked
 
@@ -102,7 +102,7 @@ def test_chunked_prefill_tp_mesh(setup):
                        EngineConfig(max_batch_size=2, tp_size=2), [LONG])
     chunked = run_engine(cfg, np_params, tok,
                          EngineConfig(max_batch_size=2, tp_size=2,
-                                      prefill_chunk=16), [LONG])
+                                      prefill_chunk=16, prefill_chunk_min=16), [LONG])
     assert plain == chunked
 
 
@@ -114,7 +114,7 @@ def test_chunked_prefill_paged_mesh(setup):
     chunked = run_engine(cfg, np_params, tok,
                          EngineConfig(max_batch_size=2, tp_size=2, dp_size=2,
                                       paged_kv=True, kv_page_size=16,
-                                      prefill_chunk=16), [LONG])
+                                      prefill_chunk=16, prefill_chunk_min=16), [LONG])
     assert plain == chunked
 
 
@@ -124,7 +124,7 @@ def test_chunked_prefill_with_spec(setup):
                        EngineConfig(max_batch_size=2, spec_tick=3), [LONG])
     chunked = run_engine(cfg, np_params, tok,
                          EngineConfig(max_batch_size=2, spec_tick=3,
-                                      prefill_chunk=16), [LONG])
+                                      prefill_chunk=16, prefill_chunk_min=16), [LONG])
     assert plain == chunked
 
 
@@ -141,7 +141,7 @@ def test_warmup_covers_chunked_programs(setup):
     cfg, np_params, tok = setup
     params = load_params(cfg, np_params, dtype=jnp.float32)
     eng = Engine(cfg, params, tok,
-                 EngineConfig(max_batch_size=2, prefill_chunk=16))
+                 EngineConfig(max_batch_size=2, prefill_chunk=16, prefill_chunk_min=16))
     w = eng.warmup()
     assert w["programs"] > 0
     eng.start()
