@@ -202,8 +202,15 @@ def measure(bits: int, run_gate: bool = True) -> float:
         first_tokens = np.asarray(out)  # compile+warm (barrier)
         log(f"n={n}: compile+first run {time.time() - t0:.1f}s; "
             f"tokens {first_tokens[:4, 0].tolist()}...")
-        if n == steps and (first_tokens == first_tokens[0, 0]).all():
-            log("WARNING: all sampled tokens identical (greedy loop?)")
+        if n == steps and len(np.unique(first_tokens)) < 4:
+            # a (near-)constant greedy trajectory exercises one repeated
+            # cache pattern and voids the "bench doubles as a numerics
+            # check" claim — fail loudly instead of warning (VERDICT r4
+            # weak #5; the untied classifier in __graft_entry__ makes the
+            # trajectory non-degenerate by construction)
+            raise SystemExit(
+                f"bench gate FAILED: degenerate greedy trajectory "
+                f"({len(np.unique(first_tokens))} unique tokens in {n})")
         log_mem(dev, f"n={n}")
         best = float("inf")
         for _ in range(3):
