@@ -131,6 +131,15 @@ class EngineConfig:
     # token budgets and the cache end (m=0 falls back to the plain tick).
     # Only read when spec_tick > 0.
     spec_rounds: int = 4
+    # Proposer for speculative serving: "ngram" (prompt-lookup over the
+    # per-slot history matrix, zero extra weights) or "draft" (a small
+    # resident draft model proposes spec_tick greedy tokens per round inside
+    # the spec scan; pass draft=(draft_cfg, draft_params) to Engine, or
+    # --spec-draft-model to the CLI/server). On real text a trained draft
+    # model accepts far more than prompt lookup; either way the emitted
+    # stream is bit-identical to plain decoding (sample-then-compare keyed
+    # by position). Only read when spec_tick > 0.
+    spec_mode: str = "ngram"
     # Adaptive speculation: because speculation is a pure latency/throughput
     # knob (spec on/off emits bit-identical streams — sampling is keyed by
     # (slot, position)), the engine can switch it off when drafts don't

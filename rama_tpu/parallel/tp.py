@@ -75,6 +75,17 @@ def cache_spec() -> KVCache:
     return KVCache(k=s, v=s)
 
 
+def draft_cache_spec() -> KVCache:
+    """Draft-model per-slot cache (L, B, n_kv, S, hd): batch over `data`,
+    everything else REPLICATED. The draft model's weights are replicated on
+    every chip (tiny next to the target — sharding them would trade a psum
+    per draft step for negligible savings), so its decode runs without
+    collectives inside the outer jit under GSPMD; only the batch follows the
+    slot sharding."""
+    s = P(None, DATA_AXIS, None, None, None)
+    return KVCache(k=s, v=s)
+
+
 def quant_cache_spec():
     """Spec pytree for the INT8 KV cache: the per-row scales (L, B, n_kv, S)
     shard with the same (data, model) axes as their int8 rows, so attention's
@@ -224,7 +235,8 @@ def make_decode_tick(cfg: ModelConfig, mesh: Mesh, params_example,
 
 
 def make_spec_scan_tick(cfg: ModelConfig, mesh: Mesh, params_example, k: int,
-                        kv_quant: bool = False):
+                        kv_quant: bool = False,
+                        draft_cfg: ModelConfig | None = None):
     """TP+DP speculative scan tick: m on-device draft->verify->accept rounds
     per dispatch (the mesh counterpart of runtime.engine._spec_scan_tick).
     The chunk forward is shard_mapped (weights/KV heads over `model`, slots
@@ -254,6 +266,26 @@ def make_spec_scan_tick(cfg: ModelConfig, mesh: Mesh, params_example, k: int,
 
     def fwd(params, _cfg, chunk, pos0, cache):
         return mapped(params, chunk, pos0, cache)
+
+    if draft_cfg is not None:
+        # Draft-model proposer: drafting runs in the OUTER jit under GSPMD
+        # (replicated draft weights + data-sharded draft cache — no
+        # collectives), only the target chunk-verify is shard_mapped.
+        @partial(jax.jit, static_argnames=("m",),
+                 donate_argnames=("cache", "dcache", "hist"))
+        def spec_draft(params, dparams, tokens, pos, temps, top_ps,
+                       slot_keys, cache, dcache, hist, m=1):
+            def body(carry, _):
+                return _spec_round(params, cfg, carry, temps, top_ps,
+                                   slot_keys, k, fwd,
+                                   draft=(dparams, draft_cfg))
+
+            (tokens, pos, cache, hist, dcache), (samples, accepts) = \
+                jax.lax.scan(body, (tokens, pos, cache, hist, dcache),
+                             None, length=m)
+            return samples, accepts, tokens, pos, cache, dcache, hist
+
+        return spec_draft
 
     @partial(jax.jit, static_argnames=("m",),
              donate_argnames=("cache", "hist"))
@@ -341,7 +373,8 @@ def make_paged_decode_tick(cfg: ModelConfig, mesh: Mesh, params_example,
 
 
 def make_paged_spec_scan_tick(cfg: ModelConfig, mesh: Mesh, params_example,
-                              k: int, kv_quant: bool = False):
+                              k: int, kv_quant: bool = False,
+                              draft_cfg: ModelConfig | None = None):
     """make_spec_scan_tick against the page pool: every round's chunk
     verifies through the shard_mapped ragged paged chunk forward (pages over
     `data`, KV heads over `model` — the spec x paged x mesh cell).
@@ -370,6 +403,26 @@ def make_paged_spec_scan_tick(cfg: ModelConfig, mesh: Mesh, params_example,
                   P(DATA_AXIS, None)),
         out_specs=(P(DATA_AXIS, None, None), cspec),
         check_vma=False)
+
+    if draft_cfg is not None:
+        @partial(jax.jit, static_argnames=("m",),
+                 donate_argnames=("cache", "dcache", "hist"))
+        def spec_draft(params, dparams, tokens, pos, temps, top_ps,
+                       slot_keys, cache, tables, dcache, hist, m=1):
+            def fwd(params, _cfg, chunk, pos0, cache):
+                return mapped(params, chunk, pos0, cache, tables)
+
+            def body(carry, _):
+                return _spec_round(params, cfg, carry, temps, top_ps,
+                                   slot_keys, k, fwd,
+                                   draft=(dparams, draft_cfg))
+
+            (tokens, pos, cache, hist, dcache), (samples, accepts) = \
+                jax.lax.scan(body, (tokens, pos, cache, hist, dcache),
+                             None, length=m)
+            return samples, accepts, tokens, pos, cache, dcache, hist
+
+        return spec_draft
 
     @partial(jax.jit, static_argnames=("m",),
              donate_argnames=("cache", "hist"))

@@ -194,28 +194,51 @@ def _decode_tick_paged(params, cfg: ModelConfig, tokens, pos, temps, top_ps,
 
 
 def _spec_round(params, cfg: ModelConfig, carry, temps, top_ps, slot_keys,
-                k: int, forward_fn):
-    """One on-device speculative round: draft k tokens per slot with the
-    vmapped n-gram proposer over the device history matrix, verify the
+                k: int, forward_fn, draft=None):
+    """One on-device speculative round: draft k tokens per slot, verify the
     (B, k+1) chunk in one fused chunk forward, sample-then-compare accept.
 
-    carry = (tokens (B,), pos (B,), cache, hist (B, cap)); hist row b holds
-    the input token at each position p <= pos[b] (prompt + emitted). Every
-    chunk position samples from the *target* distribution with a key derived
-    only from (slot key, position) — fold_in_pos — so the served stream is
-    IDENTICAL to the plain-tick stream at any temperature (speculation is
-    purely a latency knob; drafts affect throughput, never the stream).
-    Rejected positions' KV rows AND hist rows hold garbage that the next
-    round rewrites before anything reads it (write-before-attend for KV;
-    the proposer's validity window idx < pos+1 for hist).
+    Drafting: with draft=None, the vmapped n-gram proposer over the device
+    history matrix; with draft=(dparams, dcfg), a k-step greedy scan of the
+    small DRAFT model over its own per-slot cache (carry gains a 5th
+    element). The draft cache follows write-before-attend like the target's:
+    each round's first draft step re-processes the last emitted token at its
+    true position, rewriting any rejected-draft rows before a query can
+    attend them (speculative.py:183-205 is the offline single-stream
+    counterpart of the same discipline).
+
+    carry = (tokens (B,), pos (B,), cache, hist (B, cap)[, dcache]); hist
+    row b holds the input token at each position p <= pos[b] (prompt +
+    emitted). Every chunk position samples from the *target* distribution
+    with a key derived only from (slot key, position) — fold_in_pos — so
+    the served stream is IDENTICAL to the plain-tick stream at any
+    temperature whichever proposer runs (speculation is purely a latency
+    knob; drafts affect throughput, never the stream). Rejected positions'
+    KV rows AND hist rows hold garbage that the next round rewrites before
+    anything reads it (write-before-attend for KV; the proposer's validity
+    window idx < pos+1 for hist).
 
     Returns (new carry, (samples (k+1, B), accept (B,)))."""
     from rama_tpu.runtime.speculative import ngram_propose
 
-    tokens, pos, cache, hist = carry
+    if draft is None:
+        tokens, pos, cache, hist = carry
+        drafts = jax.vmap(lambda h, n: ngram_propose(h, n, k))(hist, pos + 1)
+    else:
+        dparams, dcfg = draft
+        tokens, pos, cache, hist, dcache = carry
+
+        def _draft_step(c, _):
+            tok, p, dc = c
+            lg, dc = decode_step(dparams, dcfg, tok, p, dc)
+            nt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            return (nt, p + 1, dc), nt
+
+        (_, _, dcache), dts = jax.lax.scan(
+            _draft_step, (tokens, pos, dcache), None, length=k)
+        drafts = dts.T                                           # (B, k)
     b = tokens.shape[0]
     bi = jnp.arange(b)
-    drafts = jax.vmap(lambda h, n: ngram_propose(h, n, k))(hist, pos + 1)
     chunk = jnp.concatenate([tokens[:, None], drafts], axis=1)   # (B, k+1)
     logits, cache = forward_fn(params, cfg, chunk, pos, cache)   # (B,T,V)
     # all k+1 positions sample in ONE batched top-p call (one (B*(k+1), V)
@@ -236,7 +259,9 @@ def _spec_round(params, cfg: ModelConfig, carry, temps, top_ps, slot_keys,
     hist = hist.at[bi[None, :], cols].set(samples, mode="drop")
     new_tokens = samples[accept, bi]
     new_pos = pos + accept + 1
-    return (new_tokens, new_pos, cache, hist), (samples, accept)
+    if draft is None:
+        return (new_tokens, new_pos, cache, hist), (samples, accept)
+    return (new_tokens, new_pos, cache, hist, dcache), (samples, accept)
 
 
 @partial(jax.jit, static_argnames=("cfg", "k", "m"),
@@ -289,6 +314,71 @@ def _spec_scan_tick_paged(params, cfg: ModelConfig, tokens, pos, temps,
     (tokens, pos, cache, hist), (samples, accepts) = jax.lax.scan(
         body, (tokens, pos, cache, hist), None, length=m)
     return samples, accepts, tokens, pos, cache, hist
+
+
+@partial(jax.jit, static_argnames=("cfg", "dcfg", "k", "m"),
+         donate_argnames=("cache", "dcache", "hist"))
+def _spec_scan_tick_draft(params, dparams, cfg: ModelConfig,
+                          dcfg: ModelConfig, tokens, pos, temps, top_ps,
+                          slot_keys, cache: KVCache, dcache: KVCache, hist,
+                          k: int, m: int):
+    """_spec_scan_tick with DRAFT-MODEL drafting: each round scans k greedy
+    steps of the small model (its per-slot cache rides in the carry) and
+    verifies against the target in one chunk forward. Same chaining
+    contract — tokens/pos/hist stay device-resident; dcache is an engine
+    member rebound per dispatch like the target cache."""
+
+    def body(carry, _):
+        return _spec_round(params, cfg, carry, temps, top_ps, slot_keys, k,
+                           forward_chunk, draft=(dparams, dcfg))
+
+    (tokens, pos, cache, hist, dcache), (samples, accepts) = jax.lax.scan(
+        body, (tokens, pos, cache, hist, dcache), None, length=m)
+    return samples, accepts, tokens, pos, cache, dcache, hist
+
+
+@partial(jax.jit, static_argnames=("cfg", "dcfg", "k", "m"),
+         donate_argnames=("cache", "dcache", "hist"))
+def _spec_scan_tick_paged_draft(params, dparams, cfg: ModelConfig,
+                                dcfg: ModelConfig, tokens, pos, temps,
+                                top_ps, slot_keys, cache, page_tables,
+                                dcache: KVCache, hist, k: int, m: int):
+    """Draft-model spec scan verifying against the PAGED target pool; the
+    draft model keeps a dense per-slot cache (tiny next to the pool)."""
+    from rama_tpu.runtime.paged import forward_paged
+
+    def fwd(params, cfg_, chunk, pos0, cache_):
+        t = chunk.shape[1]
+        pos_index = pos0[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+        return forward_paged(params, cfg_, chunk, pos_index, cache_,
+                             page_tables)
+
+    def body(carry, _):
+        return _spec_round(params, cfg, carry, temps, top_ps, slot_keys, k,
+                           fwd, draft=(dparams, dcfg))
+
+    (tokens, pos, cache, hist, dcache), (samples, accepts) = jax.lax.scan(
+        body, (tokens, pos, cache, hist, dcache), None, length=m)
+    return samples, accepts, tokens, pos, cache, dcache, hist
+
+
+@partial(jax.jit, static_argnames=("dcfg", "use_kernel"),
+         donate_argnames=("dcache",))
+def _draft_prefill_insert(dparams, dcfg: ModelConfig, tokens, true_lens,
+                          slots_arr, dcache: KVCache,
+                          use_kernel: bool | None = None):
+    """Prefill the DRAFT model over an admission's padded (k, T) prompts and
+    scatter the K/V strips into the per-slot draft cache — the draft-mode
+    companion dispatch to _prefill_insert (the draft model must see the
+    prompt before it can propose continuations; speculative.py:191-194)."""
+    k, t_pad = tokens.shape
+    scratch = KVCache.create(dcfg, batch=k, max_len=t_pad)
+    idx = jnp.arange(t_pad)[None, :]
+    pos_index = jnp.where(idx < true_lens[:, None], idx, t_pad - 1)
+    _, scratch = forward(dparams, dcfg, tokens, pos_index, scratch,
+                         plen=true_lens, logit_rows=true_lens - 1)
+    return _insert_body(dcache, scratch.k, scratch.v, slots_arr,
+                        use_kernel=use_kernel)
 
 
 def _prefill_body(params, cfg: ModelConfig, tokens, true_lens, temps, top_ps,
@@ -462,7 +552,11 @@ class Engine:
     """
 
     def __init__(self, cfg: ModelConfig, params, tokenizer: Tokenizer,
-                 engine_config: EngineConfig | None = None):
+                 engine_config: EngineConfig | None = None, draft=None):
+        """draft: optional (draft_cfg, draft_params) for
+        EngineConfig.spec_mode == "draft" — a small resident model that
+        proposes tokens inside the speculative scan instead of the n-gram
+        prompt-lookup."""
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.ecfg = engine_config or EngineConfig()
@@ -494,6 +588,13 @@ class Engine:
         # distinct m is one compiled program; the shrink ladder halves it)
         r = max(1, self.ecfg.spec_rounds)
         self.spec_rounds = 1 << (r.bit_length() - 1)
+        self.spec_mode = self.ecfg.spec_mode
+        if self.spec_mode not in ("ngram", "draft"):
+            raise ValueError(f"unknown spec_mode {self.spec_mode!r}")
+        self.draft_mode = bool(self.spec) and self.spec_mode == "draft"
+        if self.draft_mode and draft is None:
+            raise ValueError("spec_mode='draft' requires "
+                             "draft=(draft_cfg, draft_params)")
         self.pf_chunk = self.ecfg.prefill_chunk
         if self.pf_chunk and (self.pf_chunk < 16
                               or self.pf_chunk & (self.pf_chunk - 1)):
@@ -552,7 +653,8 @@ class Engine:
                 if self.spec:
                     self._tp_paged_spec = tp_mod.make_paged_spec_scan_tick(
                         cfg, self.mesh, params, self.spec,
-                        kv_quant=self.kv_quant == "int8")
+                        kv_quant=self.kv_quant == "int8",
+                        draft_cfg=draft[0] if self.draft_mode else None)
             else:
                 self._tp_tick = tp_mod.make_decode_tick(
                     cfg, self.mesh, params,
@@ -563,7 +665,8 @@ class Engine:
                 if self.spec:
                     self._tp_spec = tp_mod.make_spec_scan_tick(
                         cfg, self.mesh, params, self.spec,
-                        kv_quant=self.kv_quant == "int8")
+                        kv_quant=self.kv_quant == "int8",
+                        draft_cfg=draft[0] if self.draft_mode else None)
             if self.pf_chunk:
                 self._tp_pf_chunk = tp_mod.make_prefill_chunk_step(
                     cfg, self.mesh, params)
@@ -572,6 +675,38 @@ class Engine:
                         cfg, self.mesh,
                         kv_quant=self.kv_quant == "int8")
         self.params = params
+        self.dcfg = self.dparams = self.dcache = None
+        if self.draft_mode:
+            dcfg, dparams = draft
+            self.dcfg = dcfg
+            if dparams["rope_cos"].shape[0] < self.max_len:
+                from rama_tpu.checkpoint import compute_freqs
+
+                cos, sin = compute_freqs(dcfg, seq_len=self.max_len)
+                dparams = dict(dparams)
+                dparams["rope_cos"] = jnp.asarray(cos, jnp.float32)
+                dparams["rope_sin"] = jnp.asarray(sin, jnp.float32)
+            if "wqkv" not in dparams:
+                from rama_tpu.models.llama import fuse_params
+
+                # the draft model runs REPLICATED on every chip (it is tiny
+                # next to the target; sharding it would trade one psum per
+                # draft step for negligible FLOP savings), so its fused
+                # layout is always the tp=1 one
+                dparams = fuse_params(dparams, dcfg, tp_size=1)
+            self.dcache = KVCache.create(dcfg, batch=b, max_len=self.max_len)
+            if self.use_mesh:
+                from rama_tpu.parallel.distributed import make_global
+                from rama_tpu.parallel.tp import draft_cache_spec
+
+                dparams = jax.tree_util.tree_map(
+                    lambda x: make_global(jnp.asarray(x), self.mesh,
+                                          jax.sharding.PartitionSpec()),
+                    dparams)
+                self.dcache = jax.tree_util.tree_map(
+                    lambda x, s: make_global(x, self.mesh, s),
+                    self.dcache, draft_cache_spec())
+            self.dparams = dparams
         if self.paged:
             from rama_tpu.native import PageAllocator
 
@@ -801,6 +936,9 @@ class Engine:
                     self._dev_prefill_insert(tokens, true_lens, slots_arr,
                                              temps, top_ps, keys, rows, 1))
                 count += 1
+                if self.draft_mode:
+                    self._dev_draft_prefill(tokens, true_lens, slots_arr)
+                    count += 1
         if self.pf_chunk:
             # chunked-prefill job programs: the chunk step is ONE program per
             # (k_pad, C) batch bucket (off is traced); the finisher one per
@@ -854,6 +992,11 @@ class Engine:
                         broadcast_step(payload)
                     self._dev_pf_finish(job)
                     count += 2
+                    if self.draft_mode:
+                        self._dev_draft_prefill(job["tokens"],
+                                                job["true_lens"],
+                                                job["slots_arr"])
+                        count += 1
         return {"programs": count, "seconds": time.time() - t0}
 
     def follow(self):
@@ -911,6 +1054,8 @@ class Engine:
                         self.page_tables[slots_arr[j]] = rows[j]
                 self._dev_prefill_insert(tokens, true_lens, slots_arr, temps,
                                          top_ps, keys, rows, n_real)
+                if self.draft_mode:
+                    self._dev_draft_prefill(tokens, true_lens, slots_arr)
             elif op == _OP_SPEC:
                 k, m, chained = a0, a1, bool(a2)
                 tmpl = ([np.zeros(b, np.float32), np.zeros(b, np.float32),
@@ -947,6 +1092,10 @@ class Engine:
                     "scratch": scratch,
                     "last": jnp.zeros((k_pad, self.cfg.vocab_size),
                                       jnp.float32),
+                    # draft mode: chunks re-assemble the prompt so the
+                    # draft prefill at _OP_PFDONE sees the same (k, T)
+                    # tokens the primary dispatches
+                    "tokens": np.zeros((k_pad, t_pad), np.int32),
                 }
             elif op == _OP_PFCHUNK:
                 k_pad, c, off = a0, a1, a2
@@ -954,6 +1103,8 @@ class Engine:
                     np.zeros((k_pad, c), np.int32),
                     np.zeros(k_pad, np.int32)])
                 job = self._pf_job
+                w = job["tokens"][:, off:off + c]
+                w[:] = chunk[:, : w.shape[1]]
                 job["scratch"], job["last"] = self._dev_pf_chunk(
                     chunk, true_lens, off, job["scratch"], job["last"])
             elif op == _OP_PFDONE:
@@ -976,6 +1127,8 @@ class Engine:
                     if self.paged:
                         self.page_tables[got[1][j]] = got[5][j]
                 self._dev_pf_finish(job)
+                if self.draft_mode:
+                    self._dev_draft_prefill(job["tokens"], got[0], got[1])
                 self._pf_job = None
             else:
                 raise RuntimeError(f"unknown multihost op {op}")
@@ -1113,6 +1266,8 @@ class Engine:
             firsts = self._dev_prefill_insert(tokens, true_lens, slots_arr,
                                               temps, top_ps, keys, rows,
                                               n_real)
+            if self.draft_mode:
+                self._dev_draft_prefill(tokens, true_lens, slots_arr)
         for slot_idx, slot, req, ids, key, row in entries:
             self.slot_keys[slot_idx] = key
             # slot assigned at DISPATCH (prefilling until the firsts fetch
@@ -1237,6 +1392,12 @@ class Engine:
                 payload.append(job["rows"])
             broadcast_step(payload)
         firsts = self._dev_pf_finish(job)
+        if self.draft_mode:
+            # the draft model sees the whole prompt in ONE dispatch at job
+            # finish (the draft forward is a small fraction of one target
+            # chunk; chunking it too would buy nothing)
+            self._dev_draft_prefill(job["tokens"], job["true_lens"],
+                                    job["slots_arr"])
         for j, entry in enumerate(job["entries"]):
             slot_idx, slot, req, ids, key, row = entry
             if slot.request is not req:
@@ -1320,6 +1481,18 @@ class Engine:
                 self.params, self.cfg, *args, jnp.asarray(slots_arr),
                 self.cache)
         return firsts  # DEVICE array — callers fetch when they need values
+
+    def _dev_draft_prefill(self, tokens, true_lens, slots_arr):
+        """Draft-mode companion to _dev_prefill_insert: run the (replicated)
+        draft model over the same padded prompts and insert its K/V strips
+        into the per-slot draft cache. Dispatched on both the primary and
+        (from the same _OP_PREFILL payload) every follower, so the jit
+        contract holds. The Pallas strip writer cannot run under a GSPMD
+        mesh — the XLA scatter path is used there (see _insert_body)."""
+        self.dcache = _draft_prefill_insert(
+            self.dparams, self.dcfg, jnp.asarray(tokens),
+            jnp.asarray(true_lens), jnp.asarray(slots_arr), self.dcache,
+            use_kernel=False if self.use_mesh else None)
 
     def _emit(self, slot: _Slot, token: int):
         req = slot.request
@@ -1418,6 +1591,16 @@ class Engine:
                 from rama_tpu.parallel.tp import shard_cache
 
                 self.cache = shard_cache(self.cache, self.mesh)
+        if self.draft_mode:
+            self.dcache = KVCache.create(self.dcfg, batch=len(self.slots),
+                                         max_len=self.max_len)
+            if self.use_mesh:
+                from rama_tpu.parallel.distributed import make_global
+                from rama_tpu.parallel.tp import draft_cache_spec
+
+                self.dcache = jax.tree_util.tree_map(
+                    lambda x, s: make_global(x, self.mesh, s),
+                    self.dcache, draft_cache_spec())
 
     def _loop_once(self):
         # Pipelined decode: while tick k's results are still on the device,
@@ -1706,8 +1889,11 @@ class Engine:
                     self._spec_window.append(accepted / drafted)
         # adaptive speculation: a spec round costs ~1.15x a plain step and
         # emits 1 + frac*k tokens vs the step's 1 — below spec_min_accept,
-        # plain chained ticks serve faster, so go dormant and re-probe later
-        thr = self.ecfg.spec_min_accept
+        # plain chained ticks serve faster, so go dormant and re-probe later.
+        # DISABLED in draft mode: plain ticks bypass the draft model, so its
+        # cache would go permanently stale for the dormant stretch (every
+        # token must pass through the draft scan to keep its rows fresh).
+        thr = 0.0 if self.draft_mode else self.ecfg.spec_min_accept
         if (thr > 0 and len(self._spec_window) >= _SPEC_PROBE_ROUNDS
                 and sum(self._spec_window) / len(self._spec_window) < thr):
             self._spec_dormant = _SPEC_DORMANT_TICKS
@@ -1809,7 +1995,35 @@ class Engine:
         arrays or the previous tick's device carries."""
         keys = jnp.asarray(slot_keys, jnp.uint32)
         jh = jnp.asarray(hist)
-        if self.use_mesh and self.paged:
+        if self.draft_mode:
+            if self.use_mesh and self.paged:
+                (samples, accepts, toks, posn, self.cache, self.dcache,
+                 jh) = self._tp_paged_spec(
+                    self.params, self.dparams, jnp.asarray(tokens),
+                    jnp.asarray(pos), jnp.asarray(temps), jnp.asarray(tps),
+                    keys, self.cache, jnp.asarray(self.page_tables),
+                    self.dcache, jh, m=m)
+            elif self.use_mesh:
+                (samples, accepts, toks, posn, self.cache, self.dcache,
+                 jh) = self._tp_spec(
+                    self.params, self.dparams, jnp.asarray(tokens),
+                    jnp.asarray(pos), jnp.asarray(temps), jnp.asarray(tps),
+                    keys, self.cache, self.dcache, jh, m=m)
+            elif self.paged:
+                (samples, accepts, toks, posn, self.cache, self.dcache,
+                 jh) = _spec_scan_tick_paged_draft(
+                    self.params, self.dparams, self.cfg, self.dcfg,
+                    jnp.asarray(tokens), jnp.asarray(pos),
+                    jnp.asarray(temps), jnp.asarray(tps), keys, self.cache,
+                    jnp.asarray(self.page_tables), self.dcache, jh, k, m)
+            else:
+                (samples, accepts, toks, posn, self.cache, self.dcache,
+                 jh) = _spec_scan_tick_draft(
+                    self.params, self.dparams, self.cfg, self.dcfg,
+                    jnp.asarray(tokens), jnp.asarray(pos),
+                    jnp.asarray(temps), jnp.asarray(tps), keys, self.cache,
+                    self.dcache, jh, k, m)
+        elif self.use_mesh and self.paged:
             samples, accepts, toks, posn, self.cache, jh = self._tp_paged_spec(
                 self.params, jnp.asarray(tokens), jnp.asarray(pos),
                 jnp.asarray(temps), jnp.asarray(tps), keys, self.cache,

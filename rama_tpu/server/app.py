@@ -153,7 +153,9 @@ def load_engine(model_path: str, tokenizer_path: str, quant: str = "auto",
                 max_seq_len: int | None = None, paged: bool = False,
                 page_size: int = 128, tp: int = 1, dp: int = 1,
                 kv_quant: str | None = None, spec_tick: int = 0,
+                spec_mode: str = "ngram", spec_draft_model: str | None = None,
                 prefill_chunk: int = 0,
+                prefill_chunk_min: int | None = None,
                 compile_cache: str | None = None) -> Engine:
     import jax.numpy as jnp
 
@@ -176,13 +178,21 @@ def load_engine(model_path: str, tokenizer_path: str, quant: str = "auto",
         params = load_params(cfg, np_params, dtype=jdtype)
     # the Engine fuses QKV/W13 itself with the tp-aware column layout
     tokenizer = Tokenizer.from_file(tokenizer_path, cfg.vocab_size)
+    draft = None
+    if spec_draft_model:
+        # draft checkpoint loads as plain bf16/fp32 — a draft model is small
+        # enough that quantizing it buys nothing (its whole weight stream is
+        # a fraction of one target chunk forward)
+        dcfg, np_dparams = load_checkpoint(spec_draft_model)
+        draft = (dcfg, load_params(dcfg, np_dparams, dtype=jdtype))
     ecfg = EngineConfig(model_path=model_path, tokenizer_path=tokenizer_path,
                         max_batch_size=batch, max_seq_len=max_seq_len,
                         paged_kv=paged, kv_page_size=page_size, tp_size=tp,
                         dp_size=dp, kv_quant=kv_quant, spec_tick=spec_tick,
-                        prefill_chunk=prefill_chunk,
+                        spec_mode=spec_mode, prefill_chunk=prefill_chunk,
+                        prefill_chunk_min=prefill_chunk_min,
                         compile_cache=compile_cache)
-    return Engine(cfg, params, tokenizer, ecfg)
+    return Engine(cfg, params, tokenizer, ecfg, draft=draft)
 
 
 def main(argv=None):
@@ -206,8 +216,19 @@ def main(argv=None):
                     help="int8 KV cache (halves cache HBM traffic, doubles "
                          "slot capacity); composes with paged/tp/dp")
     ap.add_argument("--spec-tick", type=int, default=0,
-                    help="speculative serving: n-gram drafts per tick "
-                         "verified in one chunk forward (0 = off)")
+                    help="speculative serving: drafts per tick verified in "
+                         "one chunk forward (0 = off)")
+    ap.add_argument("--spec-mode", default="ngram",
+                    choices=["ngram", "draft"],
+                    help="speculative proposer: n-gram prompt lookup or a "
+                         "resident draft model (--spec-draft-model)")
+    ap.add_argument("--spec-draft-model", default=None, metavar="BIN",
+                    help=".bin checkpoint for --spec-mode draft (same "
+                         "vocab; drafts spec-tick greedy tokens per round "
+                         "inside the spec scan)")
+    ap.add_argument("--prefill-chunk-min", type=int, default=None,
+                    help="only prompts LONGER than this route through the "
+                         "chunked-prefill job (default 4x --prefill-chunk)")
     ap.add_argument("--prefill-chunk", type=int, default=0,
                     help="chunked prefill: prompts longer than this admit "
                          "through a background job interleaved with decode "
@@ -250,8 +271,10 @@ def main(argv=None):
                          args.batch, max_seq_len=args.max_seq_len,
                          paged=args.paged, page_size=args.page_size,
                          tp=args.tp, dp=args.dp, kv_quant=args.kv_quant,
-                         spec_tick=args.spec_tick,
+                         spec_tick=args.spec_tick, spec_mode=args.spec_mode,
+                         spec_draft_model=args.spec_draft_model,
                          prefill_chunk=args.prefill_chunk,
+                         prefill_chunk_min=args.prefill_chunk_min,
                          compile_cache=args.compile_cache)
     if not is_primary():
         # follower host: no HTTP frontend; replay the primary's device calls

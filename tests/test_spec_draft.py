@@ -1,0 +1,201 @@
+"""Draft-model speculation in the serving Engine (EngineConfig.spec_mode
+== "draft"): a small resident draft model proposes k greedy tokens per round
+inside the spec scan, the target verifies the chunk — and the served stream
+must be BIT-IDENTICAL to the plain engine's for every composition (dense,
+paged pool, tensor/data parallel, chunked prefill), because acceptance is
+sample-then-compare keyed by (slot, position). The reference has no
+speculative path at all (engine/src/transformer/mod.rs:169-248: strictly one
+forward per token); this is a beyond-parity capability (VERDICT r4 next #5).
+"""
+
+import jax.numpy as jnp
+import pytest
+
+from rama_tpu.config import EngineConfig
+from rama_tpu.models.llama import load_params
+from rama_tpu.runtime.engine import Engine, Request
+from rama_tpu.testing.ref_model import random_params, tiny_config
+
+from tests.test_engine import collect, make_tokenizer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config(seq_len=64)
+    np_params = random_params(cfg, seed=31)
+    # a genuinely different (smaller) draft model over the same vocab
+    dcfg = tiny_config(dim=32, hidden_dim=96, n_layers=2, n_heads=2,
+                      n_kv_heads=2, seq_len=64)
+    np_dparams = random_params(dcfg, seed=77)
+    tok = make_tokenizer(cfg.vocab_size)
+    return cfg, np_params, dcfg, np_dparams, tok
+
+
+def run(cfg, np_params, tok, ecfg, prompts, draft=None, steps=8,
+        temperature=0.7):
+    params = load_params(cfg, np_params, dtype=jnp.float32)
+    eng = Engine(cfg, params, tok, ecfg, draft=draft)
+    eng.start()
+    try:
+        reqs = [Request(prompt=p, steps=steps, temperature=temperature)
+                for p in prompts]
+        for r in reqs:
+            eng.submit(r)
+        outs = [collect(r) for r in reqs]
+        for r in reqs:
+            assert r.error is None, r.error
+    finally:
+        eng.stop()
+    assert eng.metrics["engine_errors"] == 0
+    return outs, eng
+
+
+PROMPTS = ["abab", "zq", "abcabc"]
+
+
+@pytest.mark.parametrize("temperature", [0.0, 0.7])
+def test_draft_engine_stream_identical(setup, temperature):
+    """Dense slots: draft-spec stream == plain stream at both temperatures,
+    and the accept-rate stat is populated."""
+    cfg, np_params, dcfg, np_dparams, tok = setup
+    plain, _ = run(cfg, np_params, tok, EngineConfig(max_batch_size=4),
+                   PROMPTS, temperature=temperature)
+    dparams = load_params(dcfg, np_dparams, dtype=jnp.float32)
+    spec, eng = run(cfg, np_params, tok,
+                    EngineConfig(max_batch_size=4, spec_tick=3,
+                                 spec_mode="draft"),
+                    PROMPTS, draft=(dcfg, dparams), temperature=temperature)
+    assert spec == plain
+    assert eng.stats()["spec_accept_rate"] is not None
+
+
+def test_draft_equals_target_accepts_everything(setup):
+    """Draft == target model: greedy drafts always match the target argmax,
+    so the accept rate is 1.0 (the engine analogue of
+    test_draft_model_spec_matches_and_accepts)."""
+    cfg, np_params, dcfg, np_dparams, tok = setup
+    params_as_draft = load_params(cfg, np_params, dtype=jnp.float32)
+    outs, eng = run(cfg, np_params, tok,
+                    EngineConfig(max_batch_size=2, spec_tick=3,
+                                 spec_mode="draft"),
+                    ["abab"], draft=(cfg, params_as_draft), temperature=0.0)
+    rate = eng.stats()["spec_accept_rate"]
+    assert rate is not None and rate == pytest.approx(1.0)
+    plain, _ = run(cfg, np_params, tok, EngineConfig(max_batch_size=2),
+                   ["abab"], temperature=0.0)
+    assert outs == plain
+
+
+def test_draft_engine_paged(setup):
+    """Paged target pool + dense draft cache: stream identical."""
+    cfg, np_params, dcfg, np_dparams, tok = setup
+    plain, _ = run(cfg, np_params, tok,
+                   EngineConfig(max_batch_size=4, paged_kv=True,
+                                kv_page_size=16), PROMPTS)
+    dparams = load_params(dcfg, np_dparams, dtype=jnp.float32)
+    spec, _ = run(cfg, np_params, tok,
+                  EngineConfig(max_batch_size=4, paged_kv=True,
+                               kv_page_size=16, spec_tick=3,
+                               spec_mode="draft"),
+                  PROMPTS, draft=(dcfg, dparams))
+    assert spec == plain
+
+
+def test_draft_engine_tp_and_dp(setup):
+    """Mesh engines (tp=2 and dp=2 x tp=2): replicated draft weights +
+    data-sharded draft cache emit the single-device stream."""
+    cfg, np_params, dcfg, np_dparams, tok = setup
+    plain, _ = run(cfg, np_params, tok, EngineConfig(max_batch_size=4),
+                   PROMPTS)
+    for label, ecfg in (
+            ("tp2", EngineConfig(max_batch_size=4, tp_size=2, spec_tick=3,
+                                 spec_mode="draft")),
+            ("dp2tp2", EngineConfig(max_batch_size=4, dp_size=2, tp_size=2,
+                                    spec_tick=3, spec_mode="draft"))):
+        dparams = load_params(dcfg, np_dparams, dtype=jnp.float32)
+        spec, _ = run(cfg, np_params, tok, ecfg, PROMPTS,
+                      draft=(dcfg, dparams))
+        assert spec == plain, label
+
+
+def test_draft_engine_chunked_prefill(setup):
+    """A long prompt admitted through the chunked-prefill job still seeds
+    the draft cache (whole-prompt draft prefill at job finish): stream
+    identical to the plain engine's."""
+    cfg, np_params, dcfg, np_dparams, tok = setup
+    prompts = ["abcdefghij" * 4, "zq"]
+    plain, _ = run(cfg, np_params, tok, EngineConfig(max_batch_size=2),
+                   prompts)
+    dparams = load_params(dcfg, np_dparams, dtype=jnp.float32)
+    spec, _ = run(cfg, np_params, tok,
+                  EngineConfig(max_batch_size=2, spec_tick=3,
+                               spec_mode="draft", prefill_chunk=16,
+                               prefill_chunk_min=16),
+                  prompts, draft=(dcfg, dparams))
+    assert spec == plain
+
+
+def test_draft_engine_warmup(setup):
+    """warmup() compiles the draft prefill + draft spec-scan programs; the
+    engine then serves the plain stream."""
+    cfg, np_params, dcfg, np_dparams, tok = setup
+    plain, _ = run(cfg, np_params, tok, EngineConfig(max_batch_size=2),
+                   ["abab"])
+    dparams = load_params(dcfg, np_dparams, dtype=jnp.float32)
+    params = load_params(cfg, np_params, dtype=jnp.float32)
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(max_batch_size=2, spec_tick=3,
+                              spec_mode="draft"),
+                 draft=(dcfg, dparams))
+    assert eng.warmup()["programs"] > 0
+    eng.start()
+    try:
+        req = Request(prompt="abab", steps=8, temperature=0.7)
+        eng.submit(req)
+        got = collect(req)
+    finally:
+        eng.stop()
+    assert [got] == plain
+
+
+def test_server_load_engine_draft_flag(setup, tmp_path):
+    """server.load_engine wires --spec-mode draft / --spec-draft-model: both
+    checkpoints load from .bin files and the served stream matches the plain
+    engine's (the server-side entry the CLI flags reach)."""
+    from rama_tpu.checkpoint import save_v0
+    from rama_tpu.server.app import load_engine
+    from tests.test_cli import write_tokenizer_bin
+
+    cfg, np_params, dcfg, np_dparams, tok = setup
+    model = str(tmp_path / "target.bin")
+    dmodel = str(tmp_path / "draft.bin")
+    save_v0(model, cfg, np_params)
+    save_v0(dmodel, dcfg, np_dparams)
+    tok_bin = write_tokenizer_bin(str(tmp_path / "tok.bin"), cfg.vocab_size)
+
+    plain, _ = run(cfg, np_params, tok, EngineConfig(max_batch_size=2),
+                   ["abab"], temperature=0.0)
+    eng = load_engine(model, tok_bin, quant="none", dtype="float32", batch=2,
+                      spec_tick=3, spec_mode="draft",
+                      spec_draft_model=dmodel)
+    eng.start()
+    try:
+        req = Request(prompt="abab", steps=8, temperature=0.0)
+        eng.submit(req)
+        got = collect(req)
+    finally:
+        eng.stop()
+    assert [got] == plain
+
+
+def test_draft_mode_requires_draft(setup):
+    cfg, np_params, dcfg, np_dparams, tok = setup
+    params = load_params(cfg, np_params, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="draft"):
+        Engine(cfg, params, tok,
+               EngineConfig(max_batch_size=2, spec_tick=3,
+                            spec_mode="draft"))
+    with pytest.raises(ValueError, match="spec_mode"):
+        Engine(cfg, params, tok,
+               EngineConfig(max_batch_size=2, spec_tick=3,
+                            spec_mode="banana"))
