@@ -40,7 +40,8 @@ def run_once(args, chunk: int) -> dict:
     tok = Tokenizer.from_file("tests/fixtures/tokenizer.bin", cfg.vocab_size)
     ecfg = EngineConfig(max_batch_size=8, decode_tick=8,
                         max_seq_len=args.max_seq_len, kv_quant="int8",
-                        prefill_chunk=chunk)
+                        prefill_chunk=chunk,
+                        prefill_chunk_min=args.chunk_min or None)
     eng = Engine(cfg, params, tok, ecfg)
     w = eng.warmup(max_prompt=args.long_tokens + 8)
     log(f"chunk={chunk}: warmup {w['programs']} programs "
@@ -117,6 +118,9 @@ def main():
     ap.add_argument("--long-tokens", type=int, default=1500)
     ap.add_argument("--max-seq-len", type=int, default=2048)
     ap.add_argument("--chunks", default="0,256")
+    ap.add_argument("--chunk-min", type=int, default=0,
+                    help="prefill_chunk_min engage threshold (0 = engine "
+                         "default, 4x chunk)")
     args = ap.parse_args()
 
     results = [run_once(args, int(c)) for c in args.chunks.split(",")]

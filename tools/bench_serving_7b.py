@@ -36,6 +36,7 @@ def main():
     ap.add_argument("--kv-quant", default="int8", choices=["none", "int8"])
     ap.add_argument("--spec-tick", type=int, default=0)
     ap.add_argument("--spec-rounds", type=int, default=4)
+    ap.add_argument("--spec-mode", default="ngram", choices=["ngram", "draft"])
     ap.add_argument("--paged", action="store_true")
     ap.add_argument("--max-seq-len", type=int, default=512)
     ap.add_argument("--port", type=int, default=3419)
@@ -58,12 +59,27 @@ def main():
     params = jax.block_until_ready(_random_quant_params(cfg, bits=args.bits))
     print(f"params on device in {time.time() - t0:.1f}s", file=sys.stderr)
     tok = Tokenizer.from_file("tests/fixtures/tokenizer.bin", cfg.vocab_size)
+    draft = None
+    if args.spec_mode == "draft":
+        # ~0.4B PRNG draft llama over the same vocab. PRNG weights bound the
+        # accept rate dishonestly low (a trained draft tracks its target;
+        # random ones do not), so draft rows here measure the MACHINERY cost
+        # (draft scan + chunk verify at accept~0), not the real-text win.
+        from rama_tpu.config import ModelConfig
+
+        dcfg = ModelConfig(dim=1024, hidden_dim=2816, n_layers=8, n_heads=8,
+                           n_kv_heads=8, vocab_size=cfg.vocab_size,
+                           seq_len=cfg.seq_len)
+        dparams = jax.block_until_ready(
+            _random_quant_params(dcfg, bits=8, seed=5))
+        draft = (dcfg, dparams)
     ecfg = EngineConfig(
         max_batch_size=args.batch, decode_tick=args.decode_tick,
         max_seq_len=args.max_seq_len, spec_tick=args.spec_tick,
-        spec_rounds=args.spec_rounds, paged_kv=args.paged,
+        spec_rounds=args.spec_rounds, spec_mode=args.spec_mode,
+        paged_kv=args.paged,
         kv_quant=None if args.kv_quant == "none" else args.kv_quant)
-    engine = Engine(cfg, params, tok, ecfg)
+    engine = Engine(cfg, params, tok, ecfg, draft=draft)
     # precompile the full (k, T)-bucket/tick program grid before any traffic
     # (the production path: `server.app --warmup`); without it, a cold
     # prefill bucket compiling mid-round stalls every active stream
