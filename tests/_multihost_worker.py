@@ -40,14 +40,29 @@ def make_tokenizer(vocab_size):
 
 
 def main():
-    paged = len(sys.argv) > 3 and sys.argv[3] == "paged"
+    mode = sys.argv[3] if len(sys.argv) > 3 else "dense"
+    paged = mode == "paged"
     cfg = tiny_config(seq_len=64)
     np_params = random_params(cfg, seed=31)
     params = load_params(cfg, np_params, dtype=jnp.float32)
     tok = make_tokenizer(cfg.vocab_size)
-    ecfg = EngineConfig(max_batch_size=2, tp_size=2, paged_kv=paged,
-                        kv_page_size=16)
-    eng = Engine(cfg, params, tok, ecfg)
+    draft = None
+    if mode == "draft":
+        # draft-model speculation + chunked prefill: exercises the follower's
+        # draft replay hooks (_OP_PREFILL draft insert + _OP_PFCHUNK token
+        # re-assembly + _OP_PFDONE draft prefill). Both processes build the
+        # identical draft pytree from the seed.
+        dcfg = tiny_config(dim=32, hidden_dim=96, n_layers=2, n_heads=2,
+                           n_kv_heads=2, seq_len=64)
+        draft = (dcfg, load_params(dcfg, random_params(dcfg, seed=77),
+                                   dtype=jnp.float32))
+        ecfg = EngineConfig(max_batch_size=2, tp_size=2, spec_tick=3,
+                            spec_mode="draft", prefill_chunk=16,
+                            prefill_chunk_min=16)
+    else:
+        ecfg = EngineConfig(max_batch_size=2, tp_size=2, paged_kv=paged,
+                            kv_page_size=16)
+    eng = Engine(cfg, params, tok, ecfg, draft=draft)
     assert eng.multihost, "expected a 2-process run"
 
     if pid != 0:
@@ -55,7 +70,8 @@ def main():
         return
 
     eng.start()
-    reqs = [Request(prompt="abc", steps=8, temperature=0.0),
+    prompt0 = "abcdefghij" * 4 if mode == "draft" else "abc"
+    reqs = [Request(prompt=prompt0, steps=8, temperature=0.0),
             Request(prompt="zq", steps=5, temperature=0.0)]
     for r in reqs:
         eng.submit(r)

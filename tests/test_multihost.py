@@ -31,19 +31,23 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _single_process_reference(paged: bool):
+def _single_process_reference(mode: str):
     from tests.test_engine import collect, make_tokenizer
 
     cfg = tiny_config(seq_len=64)
     np_params = random_params(cfg, seed=31)
     params = load_params(cfg, np_params, dtype=jnp.float32)
     tok = make_tokenizer(cfg.vocab_size)
+    # the reference for EVERY mode is a PLAIN tp2 engine: speculation and
+    # chunked prefill are stream-invariant, so the 2-process draft run must
+    # reproduce the plain single-process stream bit for bit
     eng = Engine(cfg, params, tok,
-                 EngineConfig(max_batch_size=2, tp_size=2, paged_kv=paged,
-                              kv_page_size=16))
+                 EngineConfig(max_batch_size=2, tp_size=2,
+                              paged_kv=mode == "paged", kv_page_size=16))
     eng.start()
     try:
-        reqs = [Request(prompt="abc", steps=8, temperature=0.0),
+        prompt0 = "abcdefghij" * 4 if mode == "draft" else "abc"
+        reqs = [Request(prompt=prompt0, steps=8, temperature=0.0),
                 Request(prompt="zq", steps=5, temperature=0.0)]
         for r in reqs:
             eng.submit(r)
@@ -52,9 +56,9 @@ def _single_process_reference(paged: bool):
         eng.stop()
 
 
-@pytest.mark.parametrize("paged", [False, True], ids=["dense", "paged"])
-def test_two_process_engine_matches_single(paged):
-    want = _single_process_reference(paged)
+@pytest.mark.parametrize("mode", ["dense", "paged", "draft"])
+def test_two_process_engine_matches_single(mode):
+    want = _single_process_reference(mode)
 
     port = _free_port()
     env = {"PATH": "/usr/bin:/bin", "HOME": "/root",
@@ -63,9 +67,9 @@ def test_two_process_engine_matches_single(paged):
 
     env.update({k: v for k, v in os.environ.items()
                 if k.startswith(("VIRTUAL_ENV", "LD_", "PYTHON"))})
-    mode = ["paged"] if paged else []
+    margs = [] if mode == "dense" else [mode]
     procs = [subprocess.Popen(
-        [sys.executable, str(WORKER), str(i), str(port)] + mode,
+        [sys.executable, str(WORKER), str(i), str(port)] + margs,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
         for i in range(2)]
     outs = [p.communicate(timeout=600)[0] for p in procs]
