@@ -54,6 +54,15 @@ def main():
     cfg = _flagship_config()
     t0 = time.time()
     params = jax.block_until_ready(_random_quant_params(cfg, bits=args.bits))
+    if args.max_len > params["rope_cos"].shape[0]:
+        # retabulate RoPE to the cache length (the engine does the same for
+        # long-context serving); without this, rows past seq_len clip to the
+        # last table row — same cost, dishonest rotations
+        from rama_tpu.checkpoint import compute_freqs
+
+        cos, sin = compute_freqs(cfg, seq_len=args.max_len)
+        params["rope_cos"] = jnp.asarray(cos, jnp.float32)
+        params["rope_sin"] = jnp.asarray(sin, jnp.float32)
     log(f"params on device in {time.time() - t0:.1f}s (int{args.bits})")
 
     S = args.max_len
