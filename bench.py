@@ -134,7 +134,7 @@ def correctness_gate(params, cfg):
           jnp.where(row_ok[..., None], want_pre, 0))
 
 
-def measure(bits: int, run_gate: bool = True) -> float:
+def measure(bits: int, run_gate: bool = True, scale_dtype=None) -> float:
     """Build PRNG int{bits} 7B params, gate, and measure b=1 decode tok/s.
 
     Frees every device buffer it created before returning (params and the
@@ -154,7 +154,7 @@ def measure(bits: int, run_gate: bool = True) -> float:
 
     cfg = _flagship_config()
     t0 = time.time()
-    params = _random_quant_params(cfg, bits=bits)
+    params = _random_quant_params(cfg, bits=bits, scale_dtype=scale_dtype)
     params = jax.block_until_ready(params)
     wbytes = 32 * (4096 * 4096 * 4 + 4096 * 11008 * 3) * bits // 8
     log(f"params on device in {time.time() - t0:.1f}s "
@@ -229,7 +229,7 @@ def measure(bits: int, run_gate: bool = True) -> float:
 BASELINE_7B = 2.42  # best published reference 7B row (i9-13900KF fp32)
 
 
-def main(bits: int | None = None):
+def main(bits: int | None = None, scale_dtype=None):
     """Default (driver) invocation measures BOTH int8 and int4 and prints ONE
     JSON line: headline = int8 (continuity with BENCH_r01-r03), int4 carried
     as extra keys (VERDICT r3 item 3: the 146 tok/s int4 path had never
@@ -238,7 +238,7 @@ def main(bits: int | None = None):
 
     results = {}
     for b in ([bits] if bits else [8, 4]):
-        results[b] = measure(b)
+        results[b] = measure(b, scale_dtype=scale_dtype)
         gc.collect()  # drop the previous variant's device buffers
 
     primary = 8 if 8 in results else bits
@@ -260,4 +260,11 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--bits", type=int, default=None, choices=(4, 8),
                     help="measure only this quantization (default: both)")
-    main(bits=ap.parse_args().bits)
+    ap.add_argument("--scale-dtype", default=None, choices=("f32", "bf16"),
+                    help="stored scale dtype (bf16 trims the scale stream;"
+                         " default f32)")
+    a = ap.parse_args()
+    import jax.numpy as _jnp
+
+    main(bits=a.bits,
+         scale_dtype=_jnp.bfloat16 if a.scale_dtype == "bf16" else None)

@@ -195,3 +195,33 @@ def test_int4_full_k_fallback_shrinks_bn():
     got_l = np.asarray(quant_matmul_layered(x, stacked, jnp.int32(1),
                                             interpret=True), np.float32)
     np.testing.assert_allclose(got_l, want, atol=0.1, rtol=0.1)
+
+
+def test_cast_scales_bf16_numerics():
+    """bf16-stored scales: dequantization error stays within the bf16 scale
+    rounding bound (2^-9 relative) and the XLA matmul path upcasts cleanly —
+    the storage-dtype contract behind the HBM-traffic option (r5)."""
+    import jax.numpy as jnp
+
+    from rama_tpu.ops.quant import (cast_scales, dequantize, matmul_xla,
+                                    quantize_int4, quantize_int8)
+
+    rng = np.random.default_rng(5)
+    w = rng.standard_normal((128, 256)).astype(np.float32)
+    for quant in (quantize_int8, quantize_int4):
+        qt = quant(w, 32)
+        p32 = {"w": qt}
+        p16 = cast_scales(p32, jnp.bfloat16)
+        assert p16["w"].scales.dtype == jnp.bfloat16
+        d32 = np.asarray(dequantize(p32["w"], dtype=jnp.float32))
+        d16 = np.asarray(dequantize(p16["w"], dtype=jnp.float32))
+        denom = np.abs(d32) + 1e-6
+        assert float(np.max(np.abs(d16 - d32) / denom)) < 2 ** -7
+        x = jnp.asarray(rng.standard_normal((4, 128)), jnp.float32)
+        y32 = np.asarray(matmul_xla(x, p32["w"], dtype=jnp.float32))
+        y16 = np.asarray(matmul_xla(x, p16["w"], dtype=jnp.float32))
+        # elementwise bounds are meaningless where terms cancel to ~0; the
+        # honest metric is the relative output-norm perturbation, which the
+        # scale rounding bounds at ~2^-9
+        err = np.linalg.norm(y16 - y32) / np.linalg.norm(y32)
+        assert err < 5e-3, err
