@@ -37,6 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="weight-only quantization: 'auto' keeps v2 files "
                         "quantized and loads v0/v1 dense; int8/int4 quantize "
                         "any input at load")
+    g.add_argument("--scale-dtype", default=None, choices=["bf16"],
+                   help="store weight-quant scales in bf16 (~8-14%% less "
+                        "weight HBM traffic for <=2^-9 scale rounding)")
     g.add_argument("--parity", action="store_true",
                    help="token-at-a-time loop (reference semantics) instead of "
                         "the prefill+decode fast path")
@@ -79,6 +82,9 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--quant", default="auto",
                    choices=["auto", "none", "int8", "int4"])
     v.add_argument("--dtype", default="float32", choices=["bfloat16", "float32"])
+    v.add_argument("--scale-dtype", default=None, choices=["bf16"],
+                   help="store weight-quant scales in bf16 (quantifies the "
+                        "serving option's quality delta via perplexity)")
     v.add_argument("--window", type=int, default=512)
     v.add_argument("--batch", type=int, default=4)
     v.add_argument("--max-tokens", type=int, default=None)
@@ -115,7 +121,7 @@ def cmd_generate(args) -> int:
     else:
         cfg, np_params = load_checkpoint(args.model)
         params = load_params(cfg, np_params, dtype=dtype)
-    params = fuse_params(params, cfg)
+    params = _maybe_cast_scales(args, fuse_params(params, cfg))
     tokenizer = Tokenizer.from_file(args.tokenizer, cfg.vocab_size)
 
     if args.mode == "chat":
@@ -244,6 +250,16 @@ def _load_model(args):
     return cfg, load_params(cfg, np_params, dtype=dtype), dtype
 
 
+def _maybe_cast_scales(args, params):
+    if getattr(args, "scale_dtype", None):
+        import jax.numpy as jnp
+
+        from rama_tpu.ops.quant import cast_scales
+
+        return cast_scales(params, jnp.bfloat16)
+    return params
+
+
 def cmd_eval(args) -> int:
     import json
 
@@ -255,7 +271,7 @@ def cmd_eval(args) -> int:
     from rama_tpu.tokenizer import Tokenizer
 
     cfg, params, _ = _load_model(args)
-    params = fuse_params(params, cfg)
+    params = _maybe_cast_scales(args, fuse_params(params, cfg))
     tokenizer = Tokenizer.from_file(args.tokenizer, cfg.vocab_size)
     with open(args.text) as f:
         text = f.read()

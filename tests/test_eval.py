@@ -90,3 +90,23 @@ def test_quantized_ppl_gate():
                                 group_size=w2.group_size, bits=w2.bits)
     p4c = perplexity(q4c, cfg, tok, text, window=32)["perplexity"]
     assert abs(p4c - fp) / fp > 0.03, "gate too insensitive to catch corruption"
+
+
+def test_bf16_scale_ppl_delta_tiny():
+    """bf16-stored scales move perplexity by far less than the quantization
+    bands themselves: the quality side of EngineConfig.scale_dtype (the
+    sensitive scale-0.1 model from the gate above, so the check has teeth)."""
+    from rama_tpu.ops.quant import cast_scales
+
+    cfg = tiny_config(seq_len=48)
+    np_params = random_params(cfg, seed=51, scale=0.1)
+    tok = make_tokenizer(cfg.vocab_size)
+    text = "the quick brown fox jumps over the lazy dog " * 8
+    for bits, band in ((8, 0.002), (4, 0.005)):
+        q = quantize_params(cfg, np_params, bits=bits, group_size=16,
+                            dtype=jnp.float32)
+        p32 = perplexity(q, cfg, tok, text, window=32)["perplexity"]
+        p16 = perplexity(cast_scales(q), cfg, tok, text,
+                         window=32)["perplexity"]
+        assert abs(p16 - p32) / p32 < band, \
+            f"int{bits}: bf16-scale ppl {p16} vs f32-scale {p32}"
