@@ -167,6 +167,14 @@ class EngineConfig:
     # set, must be divisible by dp_size).
     tp_size: int = 1
     dp_size: int = 1
+    # Sequence-parallel serving: repurpose the `model` axis to shard the KV
+    # cache's SEQUENCE dim instead of attention heads (parallel/seqpar.py —
+    # blockwise attention + flash combine; weights replicated). The
+    # long-context mode: per-chip attention reads scale as S/tp_size and
+    # cache capacity scales with the mesh, while the weight stream stays
+    # constant. Requires tp_size > 1 and tp_size | max_seq_len; dense cache
+    # only (no paged/spec/chunked-prefill composition yet).
+    seq_par: bool = False
 
     # Persistent XLA compilation cache directory (None = off). With it set,
     # Engine.warmup()'s program grid compiles once per machine; later server

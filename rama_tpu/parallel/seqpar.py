@@ -234,6 +234,58 @@ def make_seqpar_decode_step(cfg: ModelConfig, mesh, params_example,
     return step
 
 
+def make_seqpar_decode_tick(cfg: ModelConfig, mesh, params_example,
+                            kv_quant: bool = False):
+    """Multi-token sequence-parallel decode tick — the seqpar counterpart of
+    tp.make_decode_tick, PLUG-COMPATIBLE with the Engine's mesh tick slot:
+    tick(params, tokens (B,), pos (B,), temps, top_ps, slot_keys (B, 2),
+    cache, n=) -> (tokens (n, B), cache). n sampled steps per dispatch, the
+    sampled feedback never leaving the device."""
+    pspec = jax.tree_util.tree_map(lambda _: P(), params_example)
+    cspec = seqpar_cache_spec(kv_quant)
+
+    def inner(params, tokens, pos, cache):
+        return forward_seqpar_decode(params, cfg, tokens, pos, cache,
+                                     MODEL_AXIS)
+
+    mapped = jax.shard_map(
+        inner, mesh=mesh,
+        in_specs=(pspec, P(DATA_AXIS), P(DATA_AXIS), cspec),
+        out_specs=(P(DATA_AXIS, None), cspec),
+        check_vma=False)
+
+    @partial(jax.jit, static_argnames=("n",), donate_argnames=("cache",))
+    def tick(params, tokens, pos, temps, top_ps, slot_keys, cache, n=1):
+        def body(carry, _):
+            tokens, pos, cache = carry
+            logits, cache = mapped(params, tokens, pos, cache)
+            nxt = sample_batched_keyed(logits, fold_in_pos(slot_keys, pos),
+                                       temps, top_ps)
+            return (nxt, pos + 1, cache), nxt
+
+        (_, _, cache), out = jax.lax.scan(body, (tokens, pos, cache), None,
+                                          length=n)
+        return out, cache
+
+    return tick
+
+
+def shard_seqpar_cache(cache, mesh):
+    from rama_tpu.parallel.distributed import make_global
+    from rama_tpu.models.llama import QuantKVCache
+
+    spec = seqpar_cache_spec(isinstance(cache, QuantKVCache))
+    return jax.tree_util.tree_map(
+        lambda x, s: make_global(x, mesh, s), cache, spec)
+
+
+def replicate_params(params, mesh):
+    from rama_tpu.parallel.distributed import make_global
+
+    return jax.tree_util.tree_map(
+        lambda x: make_global(jnp.asarray(x), mesh, P()), params)
+
+
 # Prefill note: blockwise-ring prefill (each chip processes its query block
 # while KV blocks rotate via ppermute, overlapping transfer with per-block
 # attention) follows the same partial/combine algebra with the psum unrolled

@@ -460,6 +460,23 @@ def _prefill_insert(params, cfg: ModelConfig, tokens, true_lens, temps,
     return firsts, cache
 
 
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def _prefill_insert_gspmd(params, cfg: ModelConfig, tokens, true_lens, temps,
+                          top_ps, slot_keys, slots, cache):
+    """_prefill_insert for the seq_par engine: params replicated, cache
+    S-sharded — GSPMD partitions the scatter onto the sharded sequence dim
+    (each shard masks rows it doesn't own; the replicated prefill compute is
+    redundant across `model`, which is fine — admission is rare next to
+    decode and the weights are already everywhere). The Pallas strip writer
+    can't run under GSPMD, hence use_kernel=False."""
+    firsts, k_new, v_new = _prefill_body(params, cfg, tokens, true_lens,
+                                         temps, top_ps, slot_keys)
+    t_ins = min(tokens.shape[1], cache.k.shape[3])
+    cache = _insert_body(cache, k_new[:, :, :, :t_ins],
+                         v_new[:, :, :, :t_ins], slots, use_kernel=False)
+    return firsts, cache
+
+
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("scratch", "last"))
 def _prefill_chunk_step(params, cfg: ModelConfig, tokens_chunk, true_lens,
                         off, scratch, last):
@@ -583,6 +600,17 @@ class Engine:
         self.kv_quant = self.ecfg.kv_quant
         if self.kv_quant not in (None, "int8"):
             raise ValueError(f"unsupported kv_quant {self.kv_quant!r}")
+        self.seq_par = self.ecfg.seq_par
+        if self.seq_par:
+            if self.tp <= 1:
+                raise ValueError("seq_par requires tp_size > 1 (the model "
+                                 "axis shards the sequence)")
+            if self.paged or self.ecfg.spec_tick or self.ecfg.prefill_chunk:
+                raise ValueError("seq_par composes with dp and kv_quant "
+                                 "only (no paged/spec/chunked prefill yet)")
+            if self.max_len % self.tp:
+                raise ValueError(f"tp_size {self.tp} does not divide "
+                                 f"max_seq_len {self.max_len}")
         self.spec = self.ecfg.spec_tick
         # rounds per spec dispatch, clamped down to a power of two (each
         # distinct m is one compiled program; the shrink ladder halves it)
@@ -607,7 +635,7 @@ class Engine:
                           else 4 * self.pf_chunk)
         if self.pf_chunk and self.pf_engage < self.pf_chunk:
             raise ValueError("prefill_chunk_min must be >= prefill_chunk")
-        if self.tp > 1:
+        if self.tp > 1 and not self.seq_par:
             from rama_tpu.parallel.tp import validate_tp
 
             validate_tp(cfg, self.tp)
@@ -627,7 +655,7 @@ class Engine:
             params["rope_cos"] = jnp.asarray(cos, jnp.float32)
             params["rope_sin"] = jnp.asarray(sin, jnp.float32)
         if "wqkv" in params:
-            if self.tp > 1:
+            if self.tp > 1 and not self.seq_par:
                 # fused column layout is tp-specific; a tp=1 fusion sharded
                 # over tp>1 would split mid-projection
                 raise ValueError("pass unfused params to a tensor-parallel "
@@ -635,7 +663,10 @@ class Engine:
         else:
             from rama_tpu.models.llama import fuse_params
 
-            params = fuse_params(params, cfg, tp_size=self.tp)
+            # seq_par replicates weights on every chip, so its fused layout
+            # is always the tp=1 one
+            params = fuse_params(params, cfg,
+                                 tp_size=1 if self.seq_par else self.tp)
         if self.ecfg.scale_dtype:
             if self.ecfg.scale_dtype != "bf16":
                 raise ValueError(f"unsupported scale_dtype "
@@ -643,7 +674,16 @@ class Engine:
             from rama_tpu.ops.quant import cast_scales
 
             params = cast_scales(params, jnp.bfloat16)
-        if self.use_mesh:
+        if self.use_mesh and self.seq_par:
+            from rama_tpu.parallel.mesh import make_mesh
+            from rama_tpu.parallel import seqpar
+
+            self.mesh = make_mesh(tp_size=self.tp, dp_size=self.dp,
+                                  devices=jax.devices()[: self.tp * self.dp])
+            params = seqpar.replicate_params(params, self.mesh)
+            self._tp_tick = seqpar.make_seqpar_decode_tick(
+                cfg, self.mesh, params, kv_quant=self.kv_quant == "int8")
+        elif self.use_mesh:
             from rama_tpu.parallel.mesh import make_mesh
             from rama_tpu.parallel import tp as tp_mod
 
@@ -744,9 +784,7 @@ class Engine:
         else:
             self.cache = self._create_slot_cache(b)
             if self.use_mesh:
-                from rama_tpu.parallel.tp import shard_cache
-
-                self.cache = shard_cache(self.cache, self.mesh)
+                self.cache = self._shard_slot_cache(self.cache)
         self.slots = [_Slot() for _ in range(b)]
         # per-slot token-history capacity (index p = input token at position
         # p): sized so spec-scan hist writes (<= max_len) always fit
@@ -817,6 +855,17 @@ class Engine:
             return QuantKVCache.create(self.cfg, batch=batch,
                                        max_len=self.max_len)
         return KVCache.create(self.cfg, batch=batch, max_len=self.max_len)
+
+    def _shard_slot_cache(self, cache):
+        """Dense slot cache onto the mesh: KV heads over `model` (tp) or —
+        seq_par — the SEQUENCE dim over `model` (parallel/seqpar.py)."""
+        if self.seq_par:
+            from rama_tpu.parallel.seqpar import shard_seqpar_cache
+
+            return shard_seqpar_cache(cache, self.mesh)
+        from rama_tpu.parallel.tp import shard_cache
+
+        return shard_cache(cache, self.mesh)
 
     def _create_paged_cache(self, num_pages: int, page_size: int):
         from rama_tpu.runtime.paged import PagedKVCache, QuantPagedKVCache
@@ -1480,6 +1529,10 @@ class Engine:
                 firsts, self.cache = _prefill_insert_paged(
                     self.params, self.cfg, *args, jnp.asarray(rows),
                     self.cache)
+        elif self.use_mesh and self.seq_par:
+            firsts, self.cache = _prefill_insert_gspmd(
+                self.params, self.cfg, *args, jnp.asarray(slots_arr),
+                self.cache)
         elif self.use_mesh:
             firsts, self.cache = self._tp_prefill_insert(
                 self.params, *args, jnp.asarray(slots_arr), self.cache)
@@ -1595,9 +1648,7 @@ class Engine:
         else:
             self.cache = self._create_slot_cache(len(self.slots))
             if self.use_mesh:
-                from rama_tpu.parallel.tp import shard_cache
-
-                self.cache = shard_cache(self.cache, self.mesh)
+                self.cache = self._shard_slot_cache(self.cache)
         if self.draft_mode:
             self.dcache = KVCache.create(self.dcfg, batch=len(self.slots),
                                          max_len=self.max_len)

@@ -152,6 +152,7 @@ def load_engine(model_path: str, tokenizer_path: str, quant: str = "auto",
                 dtype: str = "bfloat16", batch: int = 8,
                 max_seq_len: int | None = None, paged: bool = False,
                 page_size: int = 128, tp: int = 1, dp: int = 1,
+                seq_par: bool = False,
                 kv_quant: str | None = None, scale_dtype: str | None = None,
                 spec_tick: int = 0,
                 spec_mode: str = "ngram", spec_draft_model: str | None = None,
@@ -189,7 +190,8 @@ def load_engine(model_path: str, tokenizer_path: str, quant: str = "auto",
     ecfg = EngineConfig(model_path=model_path, tokenizer_path=tokenizer_path,
                         max_batch_size=batch, max_seq_len=max_seq_len,
                         paged_kv=paged, kv_page_size=page_size, tp_size=tp,
-                        dp_size=dp, kv_quant=kv_quant, scale_dtype=scale_dtype,
+                        dp_size=dp, seq_par=seq_par,
+                        kv_quant=kv_quant, scale_dtype=scale_dtype,
                         spec_tick=spec_tick,
                         spec_mode=spec_mode, prefill_chunk=prefill_chunk,
                         prefill_chunk_min=prefill_chunk_min,
@@ -243,6 +245,11 @@ def main(argv=None):
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel degree (weights + KV heads sharded "
                          "over the `model` mesh axis)")
+    ap.add_argument("--seq-par", action="store_true",
+                    help="sequence-parallel serving: the model axis shards "
+                         "the KV cache's SEQUENCE dim instead of heads "
+                         "(blockwise attention; long-context mode — cache "
+                         "capacity and attention reads scale with --tp)")
     ap.add_argument("--dp", type=int, default=1,
                     help="data-parallel degree (slot batch sharded over the "
                          "`data` mesh axis; must divide --batch)")
@@ -275,7 +282,8 @@ def main(argv=None):
     engine = load_engine(args.model, args.tokenizer, args.quant, args.dtype,
                          args.batch, max_seq_len=args.max_seq_len,
                          paged=args.paged, page_size=args.page_size,
-                         tp=args.tp, dp=args.dp, kv_quant=args.kv_quant,
+                         tp=args.tp, dp=args.dp, seq_par=args.seq_par,
+                         kv_quant=args.kv_quant,
                          scale_dtype=args.scale_dtype,
                          spec_tick=args.spec_tick, spec_mode=args.spec_mode,
                          spec_draft_model=args.spec_draft_model,

@@ -133,3 +133,77 @@ def test_seqpar_quantized_weights(setup):
         assert np.asarray(got).tolist() == np.asarray(want).tolist()
         tokens = got
         pos = pos + 1
+
+
+def test_seqpar_engine_matches_single(setup):
+    """EngineConfig.seq_par: the serving engine with the sequence-sharded
+    cache (tp=4 and dp=2 x tp=2) emits exactly the single-device streams —
+    admission (GSPMD scatter insert), multi-token ticks, and kv_quant all
+    through the seqpar path."""
+    import jax.numpy as jnp
+
+    from rama_tpu.config import EngineConfig
+    from rama_tpu.runtime.engine import Engine, Request
+    from tests.test_engine import collect, make_tokenizer
+
+    cfg, np_params = setup
+    tok = make_tokenizer(cfg.vocab_size)
+    outs = {}
+    for label, ecfg in (
+            ("single", EngineConfig(max_batch_size=4)),
+            ("sp4", EngineConfig(max_batch_size=4, tp_size=4, seq_par=True)),
+            ("sp2dp2", EngineConfig(max_batch_size=4, tp_size=2, dp_size=2,
+                                    seq_par=True)),
+            ("sp4_kv8", EngineConfig(max_batch_size=4, tp_size=4,
+                                     seq_par=True, kv_quant="int8"))):
+        params = load_params(cfg, np_params, dtype=jnp.float32)
+        eng = Engine(cfg, params, tok, ecfg)
+        eng.start()
+        try:
+            reqs = [Request(prompt=p, steps=6, temperature=t)
+                    for p, t in (("abc", 0.0), ("zq", 0.9), ("abab", 0.0))]
+            for r in reqs:
+                eng.submit(r)
+            outs[label] = [collect(r) for r in reqs]
+            for r in reqs:
+                assert r.error is None, r.error
+        finally:
+            eng.stop()
+        assert eng.metrics["engine_errors"] == 0, label
+    assert outs["sp4"] == outs["single"]
+    assert outs["sp2dp2"] == outs["single"]
+    # kv_quant changes numerics vs bf16 cache; assert only the seqpar run
+    # matches the single-device kv_quant engine
+    params = load_params(cfg, np_params, dtype=jnp.float32)
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(max_batch_size=4, kv_quant="int8"))
+    eng.start()
+    try:
+        reqs = [Request(prompt=p, steps=6, temperature=t)
+                for p, t in (("abc", 0.0), ("zq", 0.9), ("abab", 0.0))]
+        for r in reqs:
+            eng.submit(r)
+        want = [collect(r) for r in reqs]
+    finally:
+        eng.stop()
+    assert outs["sp4_kv8"] == want
+
+
+def test_seqpar_engine_validation(setup):
+    import jax.numpy as jnp
+
+    from rama_tpu.config import EngineConfig
+    from rama_tpu.runtime.engine import Engine
+    from tests.test_engine import make_tokenizer
+
+    cfg, np_params = setup
+    tok = make_tokenizer(cfg.vocab_size)
+    params = load_params(cfg, np_params, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="tp_size"):
+        Engine(cfg, params, tok, EngineConfig(seq_par=True))
+    with pytest.raises(ValueError, match="paged"):
+        Engine(cfg, params, tok,
+               EngineConfig(seq_par=True, tp_size=2, paged_kv=True))
+    with pytest.raises(ValueError, match="divide"):
+        Engine(cfg, params, tok,
+               EngineConfig(seq_par=True, tp_size=2, max_seq_len=63))
