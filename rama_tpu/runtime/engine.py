@@ -64,7 +64,7 @@ class Request:
 
 class _Slot:
     __slots__ = ("request", "pos", "generated", "last_token",
-                 "hist", "hist_len", "prefilling")
+                 "hist", "hist_len", "prefilling", "draft_pos")
 
     def __init__(self):
         self.request: Request | None = None
@@ -77,6 +77,10 @@ class _Slot:
         # owned by a chunked-prefill job; excluded from decode ticks until
         # the job's finisher activates it
         self.prefilling = False
+        # draft-mode speculation: positions < draft_pos have correct rows in
+        # the DRAFT model's cache; plain (dormant) ticks advance pos without
+        # it, and _maybe_draft_resync replays the gap before the next probe
+        self.draft_pos = 0
 
     @property
     def free(self) -> bool:
@@ -128,7 +132,7 @@ def _prefill_k_cap(t_pad: int, dp: int = 1) -> int:
 # call (parallel.distributed.broadcast_step). Header: int64[4]
 # [op, arg0, arg1, arg2].
 (_OP_TICK, _OP_PREFILL, _OP_RESET, _OP_STOP, _OP_SPEC,
- _OP_PFSTART, _OP_PFCHUNK, _OP_PFDONE) = range(8)
+ _OP_PFSTART, _OP_PFCHUNK, _OP_PFDONE, _OP_DRSYNC) = range(9)
 
 # adaptive speculation (EngineConfig.spec_min_accept): plain ticks served
 # while spec is dormant, and the minimum rolling-window size before a
@@ -379,6 +383,19 @@ def _draft_prefill_insert(dparams, dcfg: ModelConfig, tokens, true_lens,
                          plen=true_lens, logit_rows=true_lens - 1)
     return _insert_body(dcache, scratch.k, scratch.v, slots_arr,
                         use_kernel=use_kernel)
+
+
+@partial(jax.jit, static_argnames=("dcfg",), donate_argnames=("dcache",))
+def _draft_resync(dparams, dcfg: ModelConfig, tokens, pos_index, dcache):
+    """Replay a (B, T) span of already-emitted tokens through the DRAFT
+    model, rewriting its per-slot cache rows at `pos_index` — how draft-mode
+    speculation recovers from a dormant stretch of plain ticks (which
+    advance the stream without touching the draft cache). Rows are the true
+    historical inputs, so rewrites are idempotent; padding clamps to each
+    slot's last position (identical content, harmless duplicate write)."""
+    _, dcache = forward(dparams, dcfg, tokens, pos_index, dcache,
+                        logit_rows=jnp.zeros((tokens.shape[0],), jnp.int32))
+    return dcache
 
 
 def _prefill_body(params, cfg: ModelConfig, tokens, true_lens, temps, top_ps,
@@ -1136,6 +1153,15 @@ class Engine:
                         self.page_tables = got[6]
                 self._dev_spec_scan(tokens, pos, temps, tps, slot_keys,
                                     hist, k, m)
+            elif op == _OP_DRSYNC:
+                t_pad = a0
+                tokens, pos_index = broadcast_step([
+                    np.zeros((b, t_pad), np.int32),
+                    np.zeros((b, t_pad), np.int32)])
+                self.dcache = _draft_resync(self.dparams, self.dcfg,
+                                            jnp.asarray(tokens),
+                                            jnp.asarray(pos_index),
+                                            self.dcache)
             elif op == _OP_PFSTART:
                 k_pad, t_pad = a0, a1
                 scratch = KVCache.create(self.cfg, batch=k_pad,
@@ -1331,6 +1357,7 @@ class Engine:
             slot.request = req
             slot.prefilling = True
             slot.pos = len(ids)            # next decode position
+            slot.draft_pos = len(ids)      # draft cache rows 0..len-1 synced
             slot.generated = 0
             # history buffer seeds the n-gram drafter; _emit appends each
             # emitted token (including `first`, at completion)
@@ -1461,6 +1488,7 @@ class Engine:
             self.slot_keys[slot_idx] = key
             slot.prefilling = False
             slot.pos = len(ids)
+            slot.draft_pos = len(ids)
             slot.generated = 0
             slot.last_token = int(firsts[j])
             slot.hist = np.zeros(self._hist_cap, np.int32)
@@ -1541,6 +1569,38 @@ class Engine:
                 self.params, self.cfg, *args, jnp.asarray(slots_arr),
                 self.cache)
         return firsts  # DEVICE array — callers fetch when they need values
+
+    def _maybe_draft_resync(self):
+        """Bring every stale slot's draft-cache rows up to its position by
+        replaying the emitted gap through the draft model (one padded (B, T)
+        dispatch). Non-stale active slots idempotently rewrite their last
+        row; free/prefilling slots are untouched-equivalent (their rows get
+        overwritten at admission / are already synced)."""
+        stale = [s for s in self.slots
+                 if not s.free and not s.prefilling and s.hist is not None
+                 and s.draft_pos < s.pos]
+        if not stale:
+            return
+        b = len(self.slots)
+        span = max(s.pos - s.draft_pos for s in stale)
+        t_pad = min(_bucket(span), self.max_len)
+        tokens = np.zeros((b, t_pad), np.int32)
+        pos_index = np.zeros((b, t_pad), np.int32)
+        for i, s in enumerate(self.slots):
+            if s.free or s.prefilling or s.hist is None or s.pos <= 0:
+                continue
+            idx = np.minimum(s.draft_pos + np.arange(t_pad), s.pos - 1)
+            tokens[i] = s.hist[idx]
+            pos_index[i] = idx
+            s.draft_pos = s.pos
+        if self.multihost:
+            from rama_tpu.parallel.distributed import broadcast_step
+
+            broadcast_step([np.asarray([_OP_DRSYNC, t_pad, 0, 0], np.int64)])
+            broadcast_step([tokens, pos_index])
+        self.dcache = _draft_resync(self.dparams, self.dcfg,
+                                    jnp.asarray(tokens),
+                                    jnp.asarray(pos_index), self.dcache)
 
     def _dev_draft_prefill(self, tokens, true_lens, slots_arr):
         """Draft-mode companion to _dev_prefill_insert: run the (replicated)
@@ -1761,6 +1821,8 @@ class Engine:
                 m //= 2
         if m:
             self._reserve_tick_pages(pos, m * (k + 1), finish_on_fail=True)
+            if self.draft_mode:
+                self._maybe_draft_resync()
             hist = self._hist_matrix()
             self._broadcast_spec(tokens, pos, temps, tps, hist, m)
             with self.phases.phase("dispatch"):
@@ -1945,13 +2007,22 @@ class Engine:
                             break
                 if drafted:
                     self._spec_window.append(accepted / drafted)
+        if self.draft_mode:
+            # the scan's draft steps rewrote rows through each accepted
+            # position; record the sync point for dormant-stretch resyncs
+            for i, s in enumerate(self.slots):
+                if not s.free and s.request is inf["reqs"][i]:
+                    s.draft_pos = s.pos
         # adaptive speculation: a spec round costs ~1.15x a plain step and
         # emits 1 + frac*k tokens vs the step's 1 — below spec_min_accept,
         # plain chained ticks serve faster, so go dormant and re-probe later.
-        # DISABLED in draft mode: plain ticks bypass the draft model, so its
-        # cache would go permanently stale for the dormant stretch (every
-        # token must pass through the draft scan to keep its rows fresh).
-        thr = 0.0 if self.draft_mode else self.ecfg.spec_min_accept
+        # Draft mode: plain (dormant) ticks bypass the draft model, so its
+        # cache goes stale over the dormant stretch; _maybe_draft_resync
+        # replays the emitted gap through the draft model before the next
+        # probe (the hist matrix holds every input by position), so dormancy
+        # is safe here too — it bounds the accept~0 draft overhead (measured
+        # 2.2x per token, int4_b1_draft256 row) at plain-tick speed.
+        thr = self.ecfg.spec_min_accept
         if (thr > 0 and len(self._spec_window) >= _SPEC_PROBE_ROUNDS
                 and sum(self._spec_window) / len(self._spec_window) < thr):
             self._spec_dormant = _SPEC_DORMANT_TICKS

@@ -199,3 +199,28 @@ def test_draft_mode_requires_draft(setup):
         Engine(cfg, params, tok,
                EngineConfig(max_batch_size=2, spec_tick=3,
                             spec_mode="banana"))
+
+
+def test_draft_dormancy_resync_stream_identical(setup, monkeypatch):
+    """Adaptive dormancy now applies to draft mode: with a junk draft
+    (accept ~0) and a high spec_min_accept, the engine crosses
+    probe -> dormant (plain ticks) -> resync -> probe boundaries — and the
+    stream must STILL be bit-identical to the plain engine (the resync
+    replays the dormant gap through the draft model before each probe)."""
+    import rama_tpu.runtime.engine as eng_mod
+
+    monkeypatch.setattr(eng_mod, "_SPEC_DORMANT_TICKS", 2)
+    monkeypatch.setattr(eng_mod, "_SPEC_PROBE_ROUNDS", 1)
+    cfg, np_params, dcfg, np_dparams, tok = setup
+    prompts = ["abab", "zq"]
+    plain, _ = run(cfg, np_params, tok, EngineConfig(max_batch_size=2),
+                   prompts, steps=24)
+    dparams = load_params(dcfg, np_dparams, dtype=jnp.float32)
+    spec, eng = run(cfg, np_params, tok,
+                    EngineConfig(max_batch_size=2, spec_tick=3,
+                                 spec_mode="draft", spec_min_accept=0.95),
+                    prompts, draft=(dcfg, dparams), steps=24)
+    assert spec == plain
+    # the junk draft must actually have triggered dormancy (else this test
+    # exercised nothing)
+    assert eng.stats()["spec_accept_rate"] is not None
