@@ -178,7 +178,14 @@ def measure(bits: int, run_gate: bool = True, scale_dtype=None) -> float:
             token, cache = carry
             logits, cache = decode_step(params, cfg, token,
                                         pos * jnp.ones_like(token), cache)
-            nxt = sample_greedy(logits)
+            # greedy + position stir: pure greedy feedback on PRNG weights
+            # falls into short attractor cycles (int4 locked a 2-token
+            # orbit even with the untied classifier), which collapses the
+            # cache/token variety this bench's numerics-check role needs.
+            # Adding the position before feeding back costs one vector add
+            # (timing-identical to greedy) and every logit still depends on
+            # every weight byte; the trajectory stays deterministic.
+            nxt = (sample_greedy(logits) + pos) % cfg.vocab_size
             return (nxt, cache), nxt
 
         (token, cache), out = jax.lax.scan(
