@@ -37,6 +37,7 @@ def main():
     ap.add_argument("--spec-tick", type=int, default=0)
     ap.add_argument("--spec-rounds", type=int, default=4)
     ap.add_argument("--spec-mode", default="ngram", choices=["ngram", "draft"])
+    ap.add_argument("--scale-dtype", default=None, choices=["bf16"])
     ap.add_argument("--paged", action="store_true")
     ap.add_argument("--max-seq-len", type=int, default=512)
     ap.add_argument("--port", type=int, default=3419)
@@ -77,7 +78,7 @@ def main():
         max_batch_size=args.batch, decode_tick=args.decode_tick,
         max_seq_len=args.max_seq_len, spec_tick=args.spec_tick,
         spec_rounds=args.spec_rounds, spec_mode=args.spec_mode,
-        paged_kv=args.paged,
+        scale_dtype=args.scale_dtype, paged_kv=args.paged,
         kv_quant=None if args.kv_quant == "none" else args.kv_quant)
     engine = Engine(cfg, params, tok, ecfg, draft=draft)
     # precompile the full (k, T)-bucket/tick program grid before any traffic
