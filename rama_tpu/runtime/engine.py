@@ -13,7 +13,13 @@ wired (SURVEY §2 #20). This engine finishes that thought the TPU way:
 - **bucketed prefill**: prompts prefill in one batched pass (padded to a
   power-of-two bucket to bound compile count), the resulting K/V inserted
   into the slot with one dynamic_update_slice;
-- per-slot sampling parameters, sampled *inside* the compiled step.
+- per-slot sampling parameters, sampled *inside* the compiled step;
+- **pipelined + chained ticks** (device-resident sampled feedback, depth-3
+  dispatch pipeline), **async-firsts admission** (prefill dispatch overlaps
+  the in-flight pipeline; first tokens fetched after the drain), **chunked
+  prefill** riding the pipeline, **speculative serving** (n-gram or a
+  resident draft model, adaptive dormancy + draft-cache resync), paged or
+  sequence-sharded caches, tp/dp meshes, multi-host lockstep replay.
 
 Threading: one engine thread owns the device loop (JAX calls block); request
 queues bridge to async servers. Tokens stream per-request through
