@@ -108,3 +108,17 @@ def test_eval_emits_finite_perplexity(artifacts, capsys):
     result = json.loads(out.strip().splitlines()[-1])
     assert np.isfinite(result["perplexity"]) and result["perplexity"] > 0
     assert result["tokens"] > 0
+
+
+def test_generate_scale_dtype_bf16(artifacts, capsys):
+    """--scale-dtype bf16 loads, casts, and streams deterministically (the
+    CLI plumbing for ops.quant.cast_scales)."""
+    d, cfg, model, tok = artifacts
+    argv = ["generate", "-m", model, "-t", tok, "-p", "abc", "-s", "6",
+            "-r", "0.0", "--quant", "int8", "--scale-dtype", "bf16",
+            "--dtype", "float32", "--platform", "cpu"]
+    rc1, out1 = run_cli(argv, capsys)
+    rc2, out2 = run_cli(argv, capsys)
+    assert rc1 == 0 and rc2 == 0
+    assert out1 == out2
+    assert "tok/s" not in out1  # the rate line goes to stderr, not stdout
